@@ -1,0 +1,67 @@
+"""IsPangenome — the correctness oracle.
+
+Equivalent of the reference's ``IsPangenome`` processor (SURVEY.md §3.4 ⚠[B]).
+Per SURVEY §0.4 this predicate set *defines* a valid output while the
+reference is unavailable:
+
+  1. partition: every genome position belongs to exactly one block
+     (CheckNoOverlaps + empty Rest);
+  2. every multi-fragment block is "good": length >= MIN_LENGTH,
+     identity >= MIN_IDENTITY, first/last MIN_END columns identical;
+  3. no two neighboring blocks are joinable (Joiner dry run empty);
+  4. (optional, when re-seeding is enabled) re-seeding on block consensuses
+     yields no new good block — the k-mer analog of the reference's
+     all-vs-all BLAST emptiness check [B].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from npge_tpu.config import Config
+from npge_tpu.model.blocks import BlockSet
+from npge_tpu.model.stats import is_good_block
+from npge_tpu.algo.joiner import joinable_pairs
+
+
+@dataclass
+class PangenomeReport:
+    ok: bool
+    uncovered_positions: int = 0
+    overcovered_positions: int = 0
+    bad_blocks: list[str] = field(default_factory=list)
+    joinable: int = 0
+    messages: list[str] = field(default_factory=list)
+
+
+def check_is_pangenome(bs: BlockSet, cfg: Config) -> PangenomeReport:
+    rep = PangenomeReport(ok=True)
+
+    # 1. partition invariant
+    cov = bs.coverage_per_seq()
+    for seq_id, c in enumerate(cov):
+        un = int((c == 0).sum())
+        ov = int((c > 1).sum())
+        rep.uncovered_positions += un
+        rep.overcovered_positions += ov
+        if un or ov:
+            rep.ok = False
+            rep.messages.append(
+                f"seq {bs.arena.names[seq_id]}: {un} uncovered, {ov} overcovered"
+            )
+
+    # 2. good blocks
+    for i, b in enumerate(bs.blocks):
+        if not is_good_block(b, bs.arena, cfg):
+            rep.ok = False
+            rep.bad_blocks.append(b.name or f"#{i}")
+    if rep.bad_blocks:
+        rep.messages.append(f"{len(rep.bad_blocks)} bad blocks")
+
+    # 3. no joinable neighbors
+    rep.joinable = len(joinable_pairs(bs))
+    if rep.joinable:
+        rep.ok = False
+        rep.messages.append(f"{rep.joinable} joinable block pairs")
+
+    return rep

@@ -1,0 +1,184 @@
+"""Block / BlockSet — the central objects of the engine.
+
+Equivalent of the reference's ``Block`` + ``BlockSet`` + ``AlignmentRow``
+(``src/model/Block.hpp``, ``BlockSet.hpp``, ``AlignmentRow.hpp`` ⚠[B],
+SURVEY.md §2.1), redesigned array-native:
+
+  - A block's alignment is a dense uint8 matrix ``[n_frags, n_cols]`` of base
+    codes with GAP entries (instead of per-fragment AlignmentRow coordinate
+    maps). Row r read with gaps removed equals the fragment's text.
+  - ``alignment is None`` means the block is *gapless*: all fragments have
+    equal length and row r == fragment text (the common case for blocks born
+    from exact-anchor group extension; stored implicitly to save memory).
+  - BlockSet holds the arena plus a plain list of blocks; it is the single
+    mutable "world" object passed between pipeline stages, like the
+    reference's target blockset slot [B].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.util import codes as C
+
+
+class Block:
+    __slots__ = ("frags", "alignment", "name")
+
+    def __init__(
+        self,
+        frags: FragmentTable,
+        alignment: np.ndarray | None = None,
+        name: str | None = None,
+    ):
+        self.frags = frags
+        self.alignment = alignment
+        self.name = name
+        if alignment is not None:
+            if alignment.shape[0] != len(frags):
+                raise ValueError("alignment rows != n_frags")
+        elif len(frags) > 1 and len(set(frags.length.tolist())) > 1:
+            raise ValueError("gapless block requires equal fragment lengths")
+
+    # ---- shape ----
+    @property
+    def n_frags(self) -> int:
+        return len(self.frags)
+
+    @property
+    def n_cols(self) -> int:
+        if self.alignment is not None:
+            return int(self.alignment.shape[1])
+        return int(self.frags.length[0]) if len(self.frags) else 0
+
+    @property
+    def is_gapless(self) -> bool:
+        return self.alignment is None
+
+    # ---- materialization ----
+    def rows(self, arena: GenomeArena) -> np.ndarray:
+        """Dense [n_frags, n_cols] code matrix (with GAP where gapped)."""
+        if self.alignment is not None:
+            return self.alignment
+        out = np.empty((self.n_frags, self.n_cols), dtype=np.uint8)
+        for i in range(self.n_frags):
+            s, st, ln, o = self.frags.row(i)
+            out[i] = arena.fragment_codes(s, st, ln, o)
+        return out
+
+    def consensus(self, arena: GenomeArena) -> np.ndarray:
+        """Ungapped consensus codes (the reference's ConSeq, ⚠[B]/[C]).
+
+        Per column: counted votes over real bases only; a column is kept if
+        non-gap entries outnumber gaps (strictly); consensus char is the most
+        frequent real base, ties broken toward the smallest code; N if the
+        kept column has no real base. Deterministic.
+        """
+        rows = self.rows(arena)
+        f = rows.shape[0]
+        counts = np.stack(
+            [(rows == b).sum(axis=0) for b in range(C.N_REAL_BASES)]
+        )  # [4, n_cols]
+        nongap = (rows != C.GAP).sum(axis=0)
+        keep = nongap * 2 > f
+        best = counts.argmax(axis=0).astype(np.uint8)  # argmax -> smallest on ties
+        has_base = counts.max(axis=0) > 0
+        cons = np.where(has_base, best, np.uint8(C.N))
+        return cons[keep]
+
+    # ---- coordinate transforms (convert_position equivalent, ⚠[B]) ----
+    def row_positions_consumed(self, row: int, col: int) -> int:
+        """Number of non-gap chars of row `row` strictly before column `col`."""
+        if self.alignment is None:
+            return col
+        return int((self.alignment[row, :col] != C.GAP).sum())
+
+    def _subfragment(self, i: int, t0: int, t1: int):
+        """Fragment row i restricted to *text* range [t0, t1) -> (s,st,ln,o)."""
+        s, st, ln, o = self.frags.row(i)
+        if o == 1:
+            return (s, st + t0, t1 - t0, o)
+        return (s, st + ln - t1, t1 - t0, o)
+
+    def slice(self, c0: int, c1: int) -> "Block | None":
+        """Columns [c0, c1) as a new block; rows with no bases are dropped.
+
+        Returns None if no fragment survives. Equivalent to the reference's
+        ``Block::slice`` used by Filter's good-slice logic ⚠[B].
+        """
+        if not (0 <= c0 < c1 <= self.n_cols):
+            raise ValueError(f"bad slice [{c0},{c1}) of {self.n_cols}")
+        if self.alignment is None:
+            rows = [
+                self._subfragment(i, c0, c1) for i in range(self.n_frags)
+            ]
+            return Block(FragmentTable.from_rows(rows), None)
+        sub = self.alignment[:, c0:c1]
+        keep = (sub != C.GAP).any(axis=1)
+        if not keep.any():
+            return None
+        rows = []
+        for i in np.flatnonzero(keep):
+            t0 = self.row_positions_consumed(int(i), c0)
+            t1 = self.row_positions_consumed(int(i), c1)
+            rows.append(self._subfragment(int(i), t0, t1))
+        return Block(FragmentTable.from_rows(rows), sub[keep].copy())
+
+    def inverse(self) -> "Block":
+        """Reverse-complement view of the block (``Block::inverse`` ⚠[B])."""
+        f = self.frags
+        inv = FragmentTable(f.seq_id, f.start, f.length, -f.ori)
+        aln = None
+        if self.alignment is not None:
+            aln = C.COMPLEMENT[self.alignment][:, ::-1].copy()
+        return Block(inv, aln)
+
+    def canonicalize(self) -> "Block":
+        """Sort fragments into the canonical deterministic order."""
+        order = self.frags.sort_order()
+        aln = self.alignment[order] if self.alignment is not None else None
+        return Block(self.frags.take(order), aln, self.name)
+
+
+class BlockSet:
+    """Arena + blocks; the world object threaded through pipeline stages."""
+
+    def __init__(self, arena: GenomeArena, blocks: list[Block] | None = None):
+        self.arena = arena
+        self.blocks: list[Block] = blocks or []
+
+    def __len__(self) -> int:
+        return len(self.blocks)
+
+    def add(self, block: Block) -> None:
+        self.blocks.append(block)
+
+    def all_fragments(self) -> FragmentTable:
+        t = FragmentTable.empty()
+        for b in self.blocks:
+            t = t.concat(b.frags)
+        return t
+
+    def canonicalize(self) -> None:
+        """Deterministic global order: canonical fragments within blocks,
+        blocks sorted by their first fragment key. Makes hashes/outputs
+        independent of construction order (SURVEY §7 hard part 4)."""
+        self.blocks = [b.canonicalize() for b in self.blocks]
+        self.blocks.sort(
+            key=lambda b: (b.frags.row(0) if len(b.frags) else (1 << 30,))
+        )
+
+    def coverage_per_seq(self) -> list[np.ndarray]:
+        """For each sequence: int32 count of covering fragments per position."""
+        cov = [
+            np.zeros(self.arena.seq_len(i), dtype=np.int32)
+            for i in range(self.arena.n_seqs)
+        ]
+        for b in self.blocks:
+            f = b.frags
+            for i in range(len(f)):
+                s, st, ln, _ = f.row(i)
+                cov[s][st : st + ln] += 1
+        return cov

@@ -1,0 +1,52 @@
+"""Order-independent block / blockset hashing.
+
+Equivalent of the reference's ``block_hash`` / ``blockset_hash``
+(``src/model/block_hash.hpp`` ⚠[B], SURVEY.md §2.1): cheap equality checks
+between runs and the revert-if-worse test of TrySmth. Hash identity across
+1-chip / 1-host / N-host runs is the distributed-correctness bar (SURVEY §4).
+
+Hashes depend only on fragment coordinates + sequence names + alignment
+content, never on in-memory order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.util import codes as C
+
+
+def _h64(data: bytes) -> int:
+    return int.from_bytes(hashlib.sha1(data).digest()[:8], "little")
+
+
+def fragment_key(arena, seq_id: int, start: int, length: int, ori: int) -> str:
+    return f"{arena.names[seq_id]}:{start}:{length}:{ori}"
+
+
+def block_hash(block: Block, arena) -> int:
+    parts = []
+    for i in range(block.n_frags):
+        s, st, ln, o = block.frags.row(i)
+        parts.append(fragment_key(arena, s, st, ln, o))
+    parts.sort()
+    payload = "|".join(parts).encode()
+    if block.alignment is not None:
+        # alignment rows in the same sorted-fragment order
+        order = sorted(
+            range(block.n_frags),
+            key=lambda i: fragment_key(arena, *block.frags.row(i)),
+        )
+        payload += b"#" + block.alignment[order].tobytes()
+    return _h64(payload)
+
+
+def blockset_hash(bs: BlockSet) -> int:
+    """XOR of block hashes mixed with the block count — order-independent."""
+    h = 0
+    for b in bs.blocks:
+        h ^= block_hash(b, bs.arena)
+    return h ^ _h64(f"n={len(bs.blocks)}".encode())

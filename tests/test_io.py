@@ -1,0 +1,43 @@
+import io
+
+import numpy as np
+
+from npge_tpu.io.bs import read_blockset, write_blockset
+from npge_tpu.io.fasta import read_fasta, write_fasta
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.model.hashing import blockset_hash
+from npge_tpu.model.naming import assign_names
+from npge_tpu.util import codes as C
+
+
+def test_fasta_roundtrip(tmp_path):
+    p = tmp_path / "x.fa"
+    with open(p, "w") as fh:
+        write_fasta(fh, [("s1 desc here", "ACGTACGT"), ("s2", "TTTT")])
+    recs = read_fasta(str(p))
+    assert recs[0][0] == "s1" and C.decode(recs[0][1]) == "ACGTACGT"
+    assert recs[1][0] == "s2" and C.decode(recs[1][1]) == "TTTT"
+
+
+def test_blockset_roundtrip():
+    arena = GenomeArena.from_strings(
+        {"G1&c1&l": "ACGTACGTAA", "G2&c1&l": "TTACGTACGT"}
+    )
+    aln = np.stack([C.encode("ACGTACGT"), C.encode("ACGTACGT")])
+    bs = BlockSet(
+        arena,
+        [
+            Block(FragmentTable.from_rows([(0, 0, 8, 1), (1, 2, 8, 1)])),
+            Block(FragmentTable.from_rows([(0, 8, 2, 1)])),
+            Block(FragmentTable.from_rows([(1, 0, 2, -1)])),
+        ],
+    )
+    assign_names(bs)
+    buf = io.StringIO()
+    write_blockset(buf, bs)
+    buf2 = io.BytesIO(buf.getvalue().encode())
+    bs2 = read_blockset(buf2)
+    assert blockset_hash(bs2) == blockset_hash(bs)
+    assert sorted(b.name for b in bs2.blocks) == sorted(b.name for b in bs.blocks)
