@@ -1,0 +1,99 @@
+"""AnchorFinder — exact k-mer anchor groups across genomes and strands.
+
+Pipeline equivalent of the reference's ``AnchorFinder`` processor
+(``src/algo/AnchorFinder.cpp`` ⚠[B], SURVEY.md §2.3 / §3.2): find short exact
+matches occurring >= 2 times (across or within genomes), strand-canonical.
+The device pass (ops/kmers.py) does the scan + minimizer sampling + key sort;
+this module forms groups on host and emits candidate fragments.
+
+Differences from the reference, by design (north star: hashed k-mer anchors
+replace BLAST; SURVEY §2.6):
+  - perfect 2-bit k-mer keys, no hash collisions, no Bloom filter;
+  - optional minimizer sampling (MINIMIZER_WINDOW>1) thins the candidate set
+    shift-invariantly instead of emitting every repeated window;
+  - groups larger than MAX_ANCHOR_FRAGMENTS are dropped (repeat guard).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from npge_tpu.config import Config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.ops.kmers import find_anchor_occurrences
+
+
+@dataclass
+class AnchorGroups:
+    """Ragged groups of anchor occurrences (CSR layout).
+
+    Occurrence m of group g (offsets[g] <= m < offsets[g+1]):
+      pos[m]     arena-global start of the k-mer window
+      seq_id[m]  owning sequence
+      strand[m]  +1 if forward text equals the canonical form, else -1
+    """
+
+    k: int
+    offsets: np.ndarray  # int64 [G+1]
+    pos: np.ndarray      # int64 [M]
+    seq_id: np.ndarray   # int32 [M]
+    strand: np.ndarray   # int8  [M]
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.offsets) - 1
+
+    def group(self, g: int):
+        a, b = self.offsets[g], self.offsets[g + 1]
+        return self.pos[a:b], self.seq_id[a:b], self.strand[a:b]
+
+    def sizes(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+
+def find_anchors(
+    arena: GenomeArena,
+    cfg: Config,
+    codes_dev=None,
+    seq_id_dev=None,
+    k: int | None = None,
+) -> AnchorGroups:
+    """Find anchor groups over the whole arena.
+
+    codes_dev/seq_id_dev may be passed to reuse device-resident arrays
+    across pipeline stages.
+    """
+    k = k or cfg.ANCHOR_SIZE
+    if codes_dev is None:
+        codes_dev = jnp.asarray(arena.codes)
+    if seq_id_dev is None:
+        seq_id_dev = jnp.asarray(arena.seq_id_of_pos())
+    h, l, pos, strand = find_anchor_occurrences(
+        codes_dev, seq_id_dev, k, cfg.MINIMIZER_WINDOW
+    )
+    if len(h) == 0:
+        return AnchorGroups(
+            k,
+            np.zeros(1, np.int64),
+            pos.astype(np.int64),
+            np.zeros(0, np.int32),
+            strand,
+        )
+    new = np.ones(len(h), dtype=bool)
+    new[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
+    gid = np.cumsum(new) - 1
+    sizes = np.bincount(gid)
+    keep_g = (sizes >= 2) & (sizes <= cfg.MAX_ANCHOR_FRAGMENTS)
+    keep_m = keep_g[gid]
+    pos, strand, gid = pos[keep_m], strand[keep_m], gid[keep_m]
+    # re-number kept groups compactly, preserving sorted-key order
+    kept_sizes = sizes[keep_g]
+    offsets = np.zeros(len(kept_sizes) + 1, np.int64)
+    np.cumsum(kept_sizes, out=offsets[1:])
+    seq_id = (
+        np.searchsorted(arena.offsets, pos, side="right").astype(np.int32) - 1
+    )
+    return AnchorGroups(k, offsets, pos.astype(np.int64), seq_id, strand.astype(np.int8))

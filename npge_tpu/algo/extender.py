@@ -1,0 +1,162 @@
+"""Extender — grow anchor groups into candidate gapless blocks.
+
+Pipeline stage wrapping ops/extend.py: computes per-occurrence extension caps
+(sequence bounds + half-split gaps between same-group neighbors so a block
+can never overlap itself), buckets ragged groups into padded (B, F) batches
+(SURVEY.md §7 hard part 2), runs the device kernel per bucket, and emits one
+gapless candidate Block per group.
+
+Equivalent role: the reference's ``FragmentsExtender`` + block construction
+from anchors (SURVEY §2.3 ⚠[B]).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from npge_tpu.config import Config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.blocks import Block
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.algo.anchors import AnchorGroups
+from npge_tpu.ops.extend import extend_groups
+
+# target element budget per (B, F, S) gather to bound device memory
+_ELEM_BUDGET = 1 << 26
+
+
+def _compute_caps(groups: AnchorGroups, arena: GenomeArena):
+    """Per-occurrence (cap_left, cap_right) in column space, int64."""
+    k = groups.k
+    pos = groups.pos
+    seq_id = groups.seq_id
+    strand = groups.strand.astype(np.int64)
+    seq_lo = arena.offsets[seq_id]
+    seq_hi = arena.offsets[seq_id + 1]
+    end = pos + k
+    # sequence-bound caps in *sequence* direction
+    room_fwd = seq_hi - end      # room toward larger positions
+    room_rev = pos - seq_lo      # room toward smaller positions
+    # same-group neighbor gaps (occurrences are key-sorted; sort by pos
+    # within each group to find sequence-adjacent same-group neighbors)
+    gid = np.repeat(
+        np.arange(groups.n_groups, dtype=np.int64), groups.sizes()
+    )
+    order = np.lexsort((pos, gid))
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    p_s, g_s, sid_s = pos[order], gid[order], seq_id[order]
+    end_s = p_s + k
+    gap_after = np.full(len(pos), np.int64(1) << 40)
+    gap_before = np.full(len(pos), np.int64(1) << 40)
+    bad_group = np.zeros(groups.n_groups, dtype=bool)
+    if len(pos) > 1:
+        same = (g_s[1:] == g_s[:-1]) & (sid_s[1:] == sid_s[:-1])
+        ga = np.where(same, p_s[1:] - end_s[:-1], np.int64(1) << 40)
+        gap_after[order[:-1]] = ga
+        gap_before[order[1:]] = ga
+        # tandem repeats with period < k: the anchor windows themselves
+        # overlap -> the block would overlap itself at birth; drop the group
+        overlapping = same & (ga < 0)
+        if overlapping.any():
+            bad_group[np.unique(g_s[:-1][overlapping])] = True
+    # both neighbors extend into a shared gap: split it deterministically
+    room_fwd = np.minimum(room_fwd, gap_after // 2 + gap_after % 2)
+    room_rev = np.minimum(room_rev, gap_before // 2)
+    # column space: right = sequence-forward for ori=+1, backward for -1
+    cap_right = np.where(strand == 1, room_fwd, room_rev)
+    cap_left = np.where(strand == 1, room_rev, room_fwd)
+    return np.maximum(cap_left, 0), np.maximum(cap_right, 0), bad_group
+
+
+def _bucket_f(f: int) -> int:
+    b = 2
+    while b < f:
+        b *= 2
+    return b
+
+
+def extend_anchor_groups(
+    arena: GenomeArena,
+    groups: AnchorGroups,
+    cfg: Config,
+    codes_dev=None,
+) -> list[Block]:
+    """Extend all groups; return candidate gapless blocks (one per group),
+    in deterministic group order."""
+    if groups.n_groups == 0:
+        return []
+    if codes_dev is None:
+        codes_dev = jnp.asarray(arena.codes)
+    k = groups.k
+    cap_l, cap_r, bad_group = _compute_caps(groups, arena)
+    sizes = groups.sizes()
+    gids = np.arange(groups.n_groups)
+    results_l = np.zeros(groups.n_groups, np.int32)
+    results_r = np.zeros(groups.n_groups, np.int32)
+
+    num, den = cfg.MIN_IDENTITY.num, cfg.MIN_IDENTITY.den
+    chunk = min(512, cfg.MAX_EXTEND)
+    max_rounds = max(1, -(-cfg.MAX_EXTEND // chunk))
+
+    for fb in sorted({_bucket_f(int(s)) for s in sizes}):
+        sel = gids[
+            (sizes <= fb) & (sizes > (fb // 2 if fb > 2 else 1)) & ~bad_group
+        ]
+        if len(sel) == 0:
+            continue
+        b_cap = max(256, _ELEM_BUDGET // (fb * chunk))
+        for i0 in range(0, len(sel), b_cap):
+            batch = sel[i0 : i0 + b_cap]
+            B = len(batch)
+            Bp = b_cap  # fixed batch shape per F-bucket -> stable jit cache
+            while Bp // 2 >= B and Bp > 256:
+                Bp //= 2
+            lo = np.zeros((Bp, fb), np.int32)
+            hi = np.zeros((Bp, fb), np.int32)
+            ori = np.ones((Bp, fb), np.int32)
+            fmask = np.zeros((Bp, fb), bool)
+            cl = np.zeros((Bp, fb), np.int32)
+            cr = np.zeros((Bp, fb), np.int32)
+            for bi, g in enumerate(batch):
+                a, b = groups.offsets[g], groups.offsets[g + 1]
+                n = b - a
+                lo[bi, :n] = groups.pos[a:b]
+                hi[bi, :n] = groups.pos[a:b] + k
+                ori[bi, :n] = groups.strand[a:b]
+                fmask[bi, :n] = True
+                cl[bi, :n] = np.minimum(cap_l[a:b], cfg.MAX_EXTEND)
+                cr[bi, :n] = np.minimum(cap_r[a:b], cfg.MAX_EXTEND)
+            el, er = extend_groups(
+                codes_dev,
+                jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ori),
+                jnp.asarray(fmask), jnp.asarray(cl), jnp.asarray(cr),
+                num, den, chunk=chunk, max_rounds=max_rounds,
+            )
+            results_l[batch] = np.asarray(el)[:B]
+            results_r[batch] = np.asarray(er)[:B]
+
+    # build blocks
+    blocks: list[Block] = []
+    for g in range(groups.n_groups):
+        if bad_group[g]:
+            continue
+        a, b = groups.offsets[g], groups.offsets[g + 1]
+        el, er = int(results_l[g]), int(results_r[g])
+        length = k + el + er
+        p = groups.pos[a:b]
+        s = groups.strand[a:b].astype(np.int64)
+        new_global = np.where(s == 1, p - el, p - er)
+        local = new_global - arena.offsets[groups.seq_id[a:b]]
+        blocks.append(
+            Block(
+                FragmentTable(
+                    groups.seq_id[a:b],
+                    local.astype(np.int32),
+                    np.full(b - a, length, np.int32),
+                    s.astype(np.int32),
+                )
+            )
+        )
+    return blocks

@@ -1,0 +1,185 @@
+"""Canonical k-mer scan + minimizer sampling + anchor grouping (device).
+
+TPU-native replacement for the reference's ``AnchorFinder`` inner machinery
+(``src/algo/AnchorFinder.cpp`` ⚠[B], SURVEY.md §3.2): the reference slides a
+polynomial rolling hash per position and uses a Bloom filter to find repeated
+hashes. Here instead:
+
+  - the 2-bit k-mer *value* itself is the key (k <= 32, held as a
+    (hi, lo) uint32 pair) — a perfect hash, so the reference's
+    "verify actual string equality after hash grouping" pass is unnecessary
+    by construction (N-containing windows are masked out);
+  - strand canonicalization is lexicographic min(kmer, revcomp kmer),
+    mirroring the reference's min(hash, complement_hash) [B];
+  - repeated-key detection is sort + segment boundaries
+    (the TPU-idiomatic replacement for the Bloom filter, SURVEY §2.6);
+  - optional (w,k)-minimizer sampling thins candidate positions
+    shift-invariantly (homologous loci sample the same k-mers), computed as
+    window-max of window-min — O(log w) shifted-min passes, all VPU work.
+
+Everything here is jnp on flat arrays: one fused scan over the whole
+concatenated arena, no per-sequence host loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+UINT_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+def _pair_min(ah, al, bh, bl):
+    """Lexicographic elementwise min of (hi,lo) uint32 pairs."""
+    take_a = (ah < bh) | ((ah == bh) & (al <= bl))
+    return jnp.where(take_a, ah, bh), jnp.where(take_a, al, bl)
+
+
+def _pair_max(ah, al, bh, bl):
+    take_a = (ah > bh) | ((ah == bh) & (al >= bl))
+    return jnp.where(take_a, ah, bh), jnp.where(take_a, al, bl)
+
+
+def _shift_pair(h, l, d, fill):
+    """(h,l) shifted left by d (x[i] <- x[i+d]), padded with `fill`."""
+    h = jnp.concatenate([h[d:], jnp.full((d,), fill, jnp.uint32)])
+    l = jnp.concatenate([l[d:], jnp.full((d,), fill, jnp.uint32)])
+    return h, l
+
+
+def _window_reduce_pair(h, l, w, op, fill):
+    """Sliding window reduce over windows [i, i+w) via doubling passes."""
+    if w <= 1:
+        return h, l
+    m = 1
+    gh, gl = h, l
+    while m * 2 <= w:
+        sh, sl = _shift_pair(gh, gl, m, fill)
+        gh, gl = op(gh, gl, sh, sl)
+        m *= 2
+    if m < w:
+        sh, sl = _shift_pair(gh, gl, w - m, fill)
+        gh, gl = op(gh, gl, sh, sl)
+    return gh, gl
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_scan(codes: jax.Array, seq_id_of: jax.Array, k: int):
+    """Per-position canonical k-mer keys.
+
+    Args:
+        codes: uint8[T] base codes (0..4), the whole arena.
+        seq_id_of: int32[T] sequence id per position.
+        k: k-mer length, 1 <= k <= 32.
+
+    Returns:
+        (canon_hi, canon_lo): uint32[T] canonical key (valid positions only)
+        strand: int8[T]  +1 if forward form is canonical, -1 if revcomp,
+                0 for palindromes (dropped downstream)
+        valid: bool[T]   window fits in one sequence and contains no N
+    """
+    if not (1 <= k <= 32):
+        raise ValueError("k must be in [1, 32]")
+    T = codes.shape[0]
+    c = codes.astype(jnp.uint32)
+    pad = jnp.full((k,), 4, jnp.uint32)
+    cext = jnp.concatenate([c, pad])
+    sid_ext = jnp.concatenate([seq_id_of, jnp.full((k,), -1, jnp.int32)])
+
+    f_hi = jnp.zeros(T, jnp.uint32)
+    f_lo = jnp.zeros(T, jnp.uint32)
+    r_hi = jnp.zeros(T, jnp.uint32)
+    r_lo = jnp.zeros(T, jnp.uint32)
+    has_n = jnp.zeros(T, jnp.bool_)
+    lo_n = min(k, 16)  # forward: last lo_n bases in lo, first k-lo_n in hi
+    for i in range(k):
+        ci = jax.lax.dynamic_slice(cext, (i,), (T,))
+        has_n = has_n | (ci >= 4)
+        cr = 3 - ci  # complement (valid where not N; masked by has_n)
+        # forward value: base i contributes at weight 4^(k-1-i)
+        if k - 1 - i < 16:
+            f_lo = f_lo + (ci << jnp.uint32(2 * (k - 1 - i)))
+        else:
+            f_hi = f_hi + (ci << jnp.uint32(2 * (k - 1 - i - 16)))
+        # revcomp value: complement of base i contributes at weight 4^i
+        if i < 16:
+            r_lo = r_lo + (cr << jnp.uint32(2 * i))
+        else:
+            r_hi = r_hi + (cr << jnp.uint32(2 * (i - 16)))
+
+    same_seq = jax.lax.dynamic_slice(sid_ext, (k - 1,), (T,)) == seq_id_of
+    valid = same_seq & ~has_n
+
+    fwd_min = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo < r_lo))
+    palindrome = (f_hi == r_hi) & (f_lo == r_lo)
+    canon_hi = jnp.where(fwd_min, f_hi, r_hi)
+    canon_lo = jnp.where(fwd_min, f_lo, r_lo)
+    strand = jnp.where(
+        palindrome, jnp.int8(0), jnp.where(fwd_min, jnp.int8(1), jnp.int8(-1))
+    )
+    return canon_hi, canon_lo, strand, valid
+
+
+@partial(jax.jit, static_argnames=("w",))
+def minimizer_mask(canon_hi, canon_lo, valid, w: int):
+    """bool[T]: position is a (w,k)-minimizer occurrence.
+
+    Definition: p is selected iff its key equals the minimum of at least one
+    window of w consecutive k-mer keys containing p (all tying positions are
+    selected — deterministic superset of leftmost-tie minimizers). Computed as
+    windowmax_w(windowmin_w(keys)) == key. w=1 selects every valid position.
+    """
+    if w <= 1:
+        return valid
+    h = jnp.where(valid, canon_hi, UINT_MAX)
+    l = jnp.where(valid, canon_lo, UINT_MAX)
+    # wmin[s] = min over [s, s+w)
+    wmin_h, wmin_l = _window_reduce_pair(h, l, w, _pair_min, UINT_MAX)
+    # selected[p] <=> max over s in [p-w+1, p] of wmin[s] == key[p]
+    # shift so window-max over [p-w+1, p] = reversed-window trick:
+    # pad front with 0 (identity for max) by rolling
+    T = h.shape[0]
+    pad_h = jnp.concatenate([jnp.zeros((w - 1,), jnp.uint32), wmin_h])
+    pad_l = jnp.concatenate([jnp.zeros((w - 1,), jnp.uint32), wmin_l])
+    mh, ml = _window_reduce_pair(pad_h, pad_l, w, _pair_max, jnp.uint32(0))
+    mh, ml = mh[:T], ml[:T]
+    return valid & (mh == h) & (ml == l)
+
+
+@jax.jit
+def sort_selected(canon_hi, canon_lo, positions, strand):
+    """Sort candidate occurrences by (key_hi, key_lo, position).
+
+    Deterministic total order — the backbone of reproducible grouping and of
+    the N-host all_gather + dedup merge (SURVEY §7 hard part 4).
+    """
+    order = jnp.lexsort((positions, canon_lo, canon_hi))
+    return (
+        canon_hi[order],
+        canon_lo[order],
+        positions[order],
+        strand[order],
+    )
+
+
+def find_anchor_occurrences(
+    codes: jax.Array, seq_id_of: jax.Array, k: int, w: int
+):
+    """Full device pass: scan -> minimizer sample -> compact -> sort.
+
+    Returns host numpy arrays (key_hi, key_lo, pos, strand), sorted by key
+    then position, one row per sampled valid non-palindromic occurrence.
+    """
+    canon_hi, canon_lo, strand, valid = kmer_scan(codes, seq_id_of, k)
+    sel = minimizer_mask(canon_hi, canon_lo, valid, w) & (strand != 0)
+    # compact on host (result size is data-dependent; boolean pull is cheap)
+    sel_np = np.asarray(sel)
+    idx = np.flatnonzero(sel_np).astype(np.int64)
+    h = np.asarray(canon_hi)[idx]
+    l = np.asarray(canon_lo)[idx]
+    s = np.asarray(strand)[idx]
+    order = np.lexsort((idx, l, h))
+    return h[order], l[order], idx[order], s[order]

@@ -1,0 +1,129 @@
+"""Group-extension kernel vs a straightforward NumPy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from npge_tpu.algo.anchors import find_anchors
+from npge_tpu.algo.extender import extend_anchor_groups
+from npge_tpu.config import default_config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.stats import block_identity
+from npge_tpu.ops.extend import extend_groups
+from npge_tpu.util import codes as C
+from npge_tpu.util.synthetic import synthetic_arena
+
+
+def oracle_extend_right(codes, lo, hi, ori, fmask, cap, num, den, smax):
+    """Single-side brute force for one group, following the documented rule."""
+    best = 0
+    cnt = 0
+    s = 0
+    while s < smax:
+        chars = []
+        usable = True
+        for f in range(len(lo)):
+            if not fmask[f]:
+                continue
+            if s >= cap[f]:
+                usable = False
+                break
+            p = hi[f] + s if ori[f] == 1 else lo[f] - 1 - s
+            if p < 0 or p >= len(codes):
+                usable = False
+                break
+            c = int(codes[p])
+            if ori[f] != 1:
+                c = 3 - c if c < 4 else c
+            if c >= 4:
+                usable = False
+                break
+            chars.append(c)
+        if not usable:
+            break
+        ident = len(set(chars)) == 1
+        if ident:
+            cnt += 1
+        L = s + 1
+        if ident and cnt * den >= num * L:
+            best = L
+        s += 1
+    return best
+
+
+def test_extend_matches_oracle_random():
+    rng = np.random.default_rng(11)
+    T = 800
+    codes = rng.integers(0, 4, size=T).astype(np.uint8)
+    # plant a shared region: copy a 120bp window to another place
+    codes[500:620] = codes[100:220]
+    # add noise to one copy
+    for p in range(510, 610, 17):
+        codes[p] = (codes[p] + 1) % 4
+    B, F = 3, 2
+    lo = np.array([[100, 500], [150, 550], [200, 600]], np.int32)
+    hi = lo + 10
+    ori = np.ones((B, F), np.int32)
+    fmask = np.ones((B, F), bool)
+    cap = np.full((B, F), 200, np.int32)
+    el, er = extend_groups(
+        jnp.asarray(codes), jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(ori), jnp.asarray(fmask),
+        cap, cap, 9, 10, chunk=256, max_rounds=1,
+    )
+    for b in range(B):
+        want = oracle_extend_right(
+            codes, lo[b], hi[b], ori[b], fmask[b], cap[b], 9, 10, 256
+        )
+        assert int(np.asarray(er)[b]) == want, f"group {b}"
+
+
+def test_extend_respects_caps_and_bounds():
+    codes = np.zeros(100, np.uint8)  # all 'A' — everything matches
+    lo = np.array([[10, 60]], np.int32)
+    hi = lo + 5
+    ori = np.ones((1, 2), np.int32)
+    fmask = np.ones((1, 2), bool)
+    capl = np.array([[10, 3]], np.int32)
+    capr = np.array([[7, 100]], np.int32)
+    el, er = extend_groups(
+        jnp.asarray(codes), jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(ori), jnp.asarray(fmask), capl, capr,
+        9, 10, chunk=64, max_rounds=1,
+    )
+    assert int(np.asarray(er)[0]) == 7  # min cap wins
+    assert int(np.asarray(el)[0]) == 3
+
+
+def test_extend_minus_strand_symmetry():
+    """A group of (fwd, rc) fragments over identical text extends fully."""
+    rng = np.random.default_rng(12)
+    seq = rng.integers(0, 4, size=200).astype(np.uint8)
+    rc = (3 - seq)[::-1].copy()
+    arena = GenomeArena(["A&c&l", "B&c&l"], [seq, rc])
+    codes = jnp.asarray(arena.codes)
+    # anchor: A[90:110) fwd <-> B[90:110) rev (same text)
+    lo = np.array([[90, 200 + 90]], np.int32)
+    hi = lo + 20
+    ori = np.array([[1, -1]], np.int32)
+    fmask = np.ones((1, 2), bool)
+    capl = np.array([[90, 90]], np.int32)
+    capr = np.array([[90, 90]], np.int32)
+    el, er = extend_groups(
+        codes, jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ori),
+        jnp.asarray(fmask), capl, capr, 9, 10, chunk=128, max_rounds=1,
+    )
+    assert int(np.asarray(el)[0]) == 90 and int(np.asarray(er)[0]) == 90
+
+
+def test_end_to_end_anchor_extension_synthetic():
+    arena = synthetic_arena(n_genomes=2, length=5000, seed=9, sub_rate=0.005,
+                            indel_rate=0.0)
+    cfg = default_config().replace(ANCHOR_SIZE=21, MINIMIZER_WINDOW=8)
+    groups = find_anchors(arena, cfg)
+    blocks = extend_anchor_groups(arena, groups, cfg)
+    assert len(blocks) > 0
+    long_blocks = [b for b in blocks if b.n_cols >= cfg.MIN_LENGTH]
+    assert long_blocks, "extension should produce long blocks on 0.5% mutated genomes"
+    for b in long_blocks[:20]:
+        num, den = block_identity(b, arena)
+        assert cfg.MIN_IDENTITY.le_ratio(num, den)

@@ -1,0 +1,126 @@
+"""Anchor-finding device ops vs brute-force NumPy oracles (SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npge_tpu.algo.anchors import find_anchors
+from npge_tpu.config import default_config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.ops.kmers import kmer_scan, minimizer_mask
+from npge_tpu.util import codes as C
+from npge_tpu.util.synthetic import synthetic_arena
+
+
+def oracle_kmer(codes: np.ndarray, seq_id: np.ndarray, k: int):
+    """Brute-force canonical kmer per position (Python ints)."""
+    T = len(codes)
+    keys = np.zeros(T, dtype=np.uint64)
+    strand = np.zeros(T, dtype=np.int8)
+    valid = np.zeros(T, dtype=bool)
+    for p in range(T - k + 1):
+        win = codes[p : p + k]
+        if (win >= 4).any() or seq_id[p] != seq_id[p + k - 1]:
+            continue
+        fwd = 0
+        for b in win:
+            fwd = fwd * 4 + int(b)
+        rc = 0
+        for b in (3 - win)[::-1]:
+            rc = rc * 4 + int(b)
+        valid[p] = True
+        if fwd < rc:
+            keys[p], strand[p] = fwd, 1
+        elif rc < fwd:
+            keys[p], strand[p] = rc, -1
+        else:
+            keys[p], strand[p] = fwd, 0
+    return keys, strand, valid
+
+
+@pytest.mark.parametrize("k", [5, 16, 21, 32])
+def test_kmer_scan_matches_oracle(k):
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 5, size=300).astype(np.uint8)  # includes Ns
+    # two sequences
+    seq_id = np.zeros(300, np.int32)
+    seq_id[170:] = 1
+    hi, lo, strand, valid = kmer_scan(
+        jnp.asarray(codes), jnp.asarray(seq_id), k
+    )
+    got_keys = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        lo
+    ).astype(np.uint64)
+    want_keys, want_strand, want_valid = oracle_kmer(codes, seq_id, k)
+    np.testing.assert_array_equal(np.asarray(valid), want_valid)
+    v = want_valid
+    np.testing.assert_array_equal(got_keys[v], want_keys[v])
+    np.testing.assert_array_equal(np.asarray(strand)[v], want_strand[v])
+
+
+def test_minimizer_mask_matches_oracle():
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, size=500).astype(np.uint8)
+    seq_id = np.zeros(500, np.int32)
+    k, w = 7, 5
+    hi, lo, strand, valid = kmer_scan(jnp.asarray(codes), jnp.asarray(seq_id), k)
+    sel = np.asarray(minimizer_mask(hi, lo, valid, w))
+    keys = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        lo
+    ).astype(np.uint64)
+    vmask = np.asarray(valid)
+    keys_masked = np.where(vmask, keys, np.uint64(0xFFFFFFFFFFFFFFFF))
+    want = np.zeros(500, bool)
+    T = 500
+    for s in range(T - w + 1):
+        window = keys_masked[s : s + w]
+        m = window.min()
+        for j in range(w):
+            if window[j] == m:
+                want[s + j] = True
+    want &= vmask
+    np.testing.assert_array_equal(sel, want)
+
+
+def test_minimizers_shift_invariant_sampling():
+    """Homologous (identical) loci in two genomes sample the same k-mers."""
+    rng = np.random.default_rng(3)
+    core = rng.integers(0, 4, size=400).astype(np.uint8)
+    a = np.concatenate([rng.integers(0, 4, size=37).astype(np.uint8), core])
+    b = np.concatenate([rng.integers(0, 4, size=80).astype(np.uint8), core])
+    arena = GenomeArena(["A&c&l", "B&c&l"], [a, b])
+    cfg = default_config().replace(ANCHOR_SIZE=15, MINIMIZER_WINDOW=8)
+    groups = find_anchors(arena, cfg)
+    # every group of size 2 should pair identical text across the genomes
+    assert groups.n_groups > 10
+    covered = 0
+    for g in range(groups.n_groups):
+        pos, sid, strand = groups.group(g)
+        texts = set()
+        for p, s, st in zip(pos, sid, strand):
+            local = p - arena.offsets[s]
+            t = arena.fragment_codes(int(s), int(local), 15, int(st))
+            texts.add(C.decode(t))
+        assert len(texts) == 1, "anchor group must be exact"
+        covered += 1
+
+
+def test_find_anchors_reverse_strand():
+    seq = "ATCGGCTAAGCTTCCGGAATC"
+    rc = C.decode(C.revcomp(C.encode(seq)))
+    arena = GenomeArena.from_strings({"A&c&l": seq, "B&c&l": rc})
+    cfg = default_config().replace(ANCHOR_SIZE=21, MINIMIZER_WINDOW=1)
+    groups = find_anchors(arena, cfg)
+    assert groups.n_groups == 1
+    pos, sid, strand = groups.group(0)
+    assert set(sid.tolist()) == {0, 1}
+    assert strand[0] != strand[1]  # opposite strands
+
+
+def test_find_anchors_on_synthetic():
+    arena = synthetic_arena(n_genomes=2, length=3000, seed=5, indel_rate=0.0)
+    cfg = default_config().replace(ANCHOR_SIZE=21, MINIMIZER_WINDOW=8)
+    groups = find_anchors(arena, cfg)
+    assert groups.n_groups > 20
+    sizes = groups.sizes()
+    assert (sizes >= 2).all()
