@@ -1,0 +1,93 @@
+"""Pangenome construction pipeline — the main orchestration loop.
+
+Equivalent of the reference's ``MakePangenome`` pipe (SURVEY.md §3.1 ⚠[B]),
+redesigned per the north star: hashed k-mer anchor seeding (replacing the
+BLAST consensus all-vs-all stage), batched lockstep extension on device,
+greedy overlap resolution, Joiner to fixpoint, Rest for the partition
+invariant. Host Python orchestrates; all O(genome-length) inner work runs as
+jit'd device ops over the flat arena (SURVEY §7 design stance).
+
+Per-stage wall-time accounting mirrors the reference's ``--timing``
+hierarchical report (SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+from npge_tpu.config import Config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.naming import assign_names
+from npge_tpu.algo.anchors import find_anchors
+from npge_tpu.algo.extender import extend_anchor_groups
+from npge_tpu.algo.joiner import join_blocks
+from npge_tpu.algo.overlaps import occupancy, resolve_overlaps
+from npge_tpu.algo.rest import rest_blocks
+
+
+@dataclass
+class StageTimings:
+    seconds: dict[str, float] = field(default_factory=dict)
+
+    def add(self, stage: str, dt: float) -> None:
+        self.seconds[stage] = self.seconds.get(stage, 0.0) + dt
+
+    def report(self) -> str:
+        total = sum(self.seconds.values())
+        lines = [f"{'stage':<18}{'seconds':>10}"]
+        for k, v in self.seconds.items():
+            lines.append(f"{k:<18}{v:>10.3f}")
+        lines.append(f"{'TOTAL':<18}{total:>10.3f}")
+        return "\n".join(lines)
+
+
+def build_pangenome(
+    arena: GenomeArena, cfg: Config, verbose: bool = False
+) -> tuple[BlockSet, StageTimings]:
+    """Single-chip pangenome construction (BASELINE configs 1-3)."""
+    t = StageTimings()
+
+    def log(msg: str) -> None:
+        if verbose:
+            print(msg, flush=True)
+
+    t0 = time.perf_counter()
+    codes_dev = jnp.asarray(arena.codes)
+    sid_dev = jnp.asarray(arena.seq_id_of_pos())
+    t.add("upload", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    groups = find_anchors(arena, cfg, codes_dev, sid_dev)
+    t.add("anchors", time.perf_counter() - t0)
+    log(f"anchors: {groups.n_groups} groups, {len(groups.pos)} occurrences")
+
+    t0 = time.perf_counter()
+    cand = extend_anchor_groups(arena, groups, cfg, codes_dev)
+    t.add("extend", time.perf_counter() - t0)
+    log(f"extend: {len(cand)} candidate blocks")
+
+    t0 = time.perf_counter()
+    accepted = resolve_overlaps(cand, arena, cfg)
+    t.add("resolve", time.perf_counter() - t0)
+    log(f"resolve: {len(accepted)} admitted blocks")
+
+    t0 = time.perf_counter()
+    bs = BlockSet(arena, accepted)
+    n_joins = join_blocks(bs)
+    t.add("join", time.perf_counter() - t0)
+    log(f"join: {n_joins} merges -> {len(bs.blocks)} blocks")
+
+    t0 = time.perf_counter()
+    occ = occupancy(arena, bs.blocks)
+    bs.blocks.extend(rest_blocks(arena, occ))
+    t.add("rest", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    assign_names(bs)
+    t.add("names", time.perf_counter() - t0)
+    log(f"total blocks: {len(bs.blocks)}")
+    return bs, t
