@@ -1,0 +1,252 @@
+"""Banded Smith-Waterman x-drop extension — the Pallas TPU kernel.
+
+THE kernel of the engine (SURVEY.md §7 step 3; BASELINE metric = DP
+cells/sec/chip): batched pairwise extension alignment, replacing the
+reference's per-block ``SimilarAligner``/``FragmentsExtender`` DP
+(``src/algo/SimilarAligner.cpp`` ⚠[B]) with an anti-diagonal wavefront that
+keeps the whole band in VMEM/registers.
+
+Formulation (global-extension H-matrix):
+    H(i, j) = best score aligning q[0..i) against t[0..j),
+    H(0,0)=0, moves: diag + (MATCH|MISMATCH), up/left + GAP (linear gaps).
+    X-drop: cells with H < best_so_far - X are pruned to -inf.
+    Result per pair: (best score, best i, best j).
+
+Band geometry (static schedule — no data-dependent control flow):
+    On anti-diagonal d (= i + j), the band holds W cells r in [0, W) with
+    i = ib(d) + r,  ib(d) = (d+1)//2 - W//2  (may be negative; such cells
+    are masked invalid). With this un-clamped center-following schedule the
+    wavefront shifts are *fixed per parity of d*:
+        diag  source (i-1, j-1) at d-2 -> same band cell r
+        up    source (i-1, j)   at d-1 -> r-1 (d even) / r (d odd)
+        left  source (i,   j-1) at d-1 -> r   (d even) / r+1 (d odd)
+
+TPU data layout: the band dimension r lives on *sublanes* (axis 0) and the
+batch across *lanes* (axis 1, TB pairs per program). Per step the kernel does
+two dynamic W-row slices of the padded sequence buffers (dynamic sublane
+starts — the natively supported slicing direction) plus pure VPU work on
+[W, TB] registers; sublane rolls implement the parity shifts.
+
+Inputs are pre-padded on host and stored transposed [L+2W, B]:
+    qp[x, b] = q_b[x - W]   (fill 254), so the q slice start W+ib-1 >= 0;
+    trp[x, b] = t_b[L-1-(x-W)] (pad-reversed, fill 255), so the t slice
+    start W+L-d+ib >= 0. The two fill values never compare equal.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(1 << 29)
+
+
+def _shift_down_fill(x, fill):
+    """out[r] = x[r-1]; row 0 <- fill."""
+    y = pltpu.roll(x, 1, axis=0)
+    r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(r == 0, fill, y)
+
+
+def _shift_up_fill(x, fill):
+    """out[r] = x[r+1]; last row <- fill."""
+    W = x.shape[0]
+    y = pltpu.roll(x, W - 1, axis=0)
+    r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(r == W - 1, fill, y)
+
+
+def _sw_kernel(
+    qp_ref, trp_ref, qlen_ref, tlen_ref, out_ref,
+    *, L, W, TB, match, mismatch, gap, xdrop,
+):
+    band = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
+    qlen = qlen_ref[0:1, :]  # [1, TB]
+    tlen = tlen_ref[0:1, :]
+    neg = jnp.full((W, TB), NEG, jnp.int32)
+
+    def cell_ij(d):
+        ib = (d + 1) // 2 - W // 2
+        i = ib + band
+        j = d - i
+        return ib, i, j
+
+    # ---- seed d=0 and d=1 ----
+    _, i0, j0 = cell_ij(0)
+    prev2 = jnp.where((i0 == 0) & (j0 == 0), 0, NEG)
+    _, i1, j1 = cell_ij(1)
+    ok1 = (
+        ((i1 == 1) & (j1 == 0) & (1 <= qlen))
+        | ((i1 == 0) & (j1 == 1) & (1 <= tlen))
+    )
+    prev = jnp.where(ok1, gap, NEG)
+    best = jnp.maximum(
+        jnp.zeros((1, TB), jnp.int32),
+        jnp.max(jnp.where(ok1, prev, NEG), axis=0, keepdims=True),
+    )
+    bi = jnp.zeros((1, TB), jnp.int32)
+    bj = jnp.zeros((1, TB), jnp.int32)
+
+    def body(d, carry):
+        prev2, prev, best, bi, bj = carry
+        ib, i, j = cell_ij(d)
+        # chars: q[i-1] at qp[W+ib-1+r]; t[j-1] at trp[W+L-d+ib+r]
+        qs = qp_ref[pl.ds(W + ib - 1, W), :].astype(jnp.int32)
+        ts = trp_ref[pl.ds(W + L - d + ib, W), :].astype(jnp.int32)
+        sub = jnp.where(qs == ts, match, mismatch)
+
+        even = (d % 2) == 0
+        up_src = jnp.where(even, _shift_down_fill(prev, NEG), prev)
+        left_src = jnp.where(even, prev, _shift_up_fill(prev, NEG))
+        inside = (i <= qlen) & (j <= tlen)
+        diag_ok = (i >= 1) & (j >= 1) & inside
+        up_ok = (i >= 1) & (j >= 0) & inside
+        left_ok = (i >= 0) & (j >= 1) & inside
+        s = jnp.maximum(
+            jnp.where(diag_ok, prev2 + sub, NEG),
+            jnp.maximum(
+                jnp.where(up_ok, up_src + gap, NEG),
+                jnp.where(left_ok, left_src + gap, NEG),
+            ),
+        )
+        # x-drop prune against best over earlier anti-diagonals
+        s = jnp.where(s < best - xdrop, neg, s)
+        col_best = jnp.max(s, axis=0, keepdims=True)  # [1, TB]
+        improved = col_best > best
+        # endpoint: smallest band index achieving the max (deterministic)
+        first_r = jnp.min(
+            jnp.where(s == col_best, band, W), axis=0, keepdims=True
+        )
+        ii = ib + first_r
+        jj = d - ii
+        bi = jnp.where(improved, ii, bi)
+        bj = jnp.where(improved, jj, bj)
+        best = jnp.maximum(best, col_best)
+        return (prev, s, best, bi, bj)
+
+    prev2, prev, best, bi, bj = jax.lax.fori_loop(
+        2, 2 * L + 1, body, (prev2, prev, best, bi, bj)
+    )
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TB), 0)
+    out_ref[:, :] = jnp.where(
+        row8 == 0,
+        best,
+        jnp.where(row8 == 1, bi, jnp.where(row8 == 2, bj, 0)),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "L", "W", "TB", "match", "mismatch", "gap", "xdrop", "interpret"
+    ),
+)
+def sw_extend_padded(
+    qp, trp, qlen, tlen, *, L, W=128, TB=128,
+    match=1, mismatch=-2, gap=-3, xdrop=64, interpret=False,
+):
+    """Run the kernel on pre-padded *transposed* inputs.
+
+    qp, trp: uint8[L + 2W, B]; qlen/tlen: int32[1, B]; B % TB == 0.
+    Returns int32[B, 3]: (best score, best_i, best_j) per pair.
+    """
+    Lp, B = qp.shape
+    assert B % TB == 0 and Lp == L + 2 * W
+    kernel = partial(
+        _sw_kernel, L=L, W=W, TB=TB,
+        match=match, mismatch=mismatch, gap=gap, xdrop=xdrop,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((Lp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * B * W * (2 * L + 1),
+            bytes_accessed=2 * B * Lp + B * 32,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qp, trp, qlen, tlen)
+    return out[:3, :].T
+
+
+def pad_for_sw(q_list, t_list, L: int, W: int = 128, TB: int = 128):
+    """Host-side padding/reversal/transpose. q_list/t_list: uint8 code arrays
+    (clipped to L). Returns (qp[L+2W, Bp], trp[L+2W, Bp], qlen[1, Bp],
+    tlen[1, Bp]) with the batch padded up to a multiple of TB."""
+    B = len(q_list)
+    Bp = -(-B // TB) * TB
+    qp = np.full((Bp, L + 2 * W), 254, np.uint8)
+    trp = np.full((Bp, L + 2 * W), 255, np.uint8)
+    qlen = np.zeros((1, Bp), np.int32)
+    tlen = np.zeros((1, Bp), np.int32)
+    for b, (q, t) in enumerate(zip(q_list, t_list)):
+        q = np.asarray(q, np.uint8)[:L]
+        t = np.asarray(t, np.uint8)[:L]
+        qlen[0, b] = len(q)
+        tlen[0, b] = len(t)
+        qp[b, W : W + len(q)] = q
+        trp[b, W + L - len(t) : W + L] = t[::-1]
+    return np.ascontiguousarray(qp.T), np.ascontiguousarray(trp.T), qlen, tlen
+
+
+def sw_extend(q_list, t_list, L=None, **kw):
+    """Convenience wrapper: pad on host, run kernel, return numpy [B, 3]."""
+    if L is None:
+        L = max(max((len(q) for q in q_list), default=1),
+                max((len(t) for t in t_list), default=1))
+        L = max(1, -(-L // 128) * 128)
+    W = kw.setdefault("W", 128)
+    TB = kw.setdefault("TB", 128)
+    qp, trp, qlen, tlen = pad_for_sw(q_list, t_list, L, W, TB)
+    out = sw_extend_padded(
+        jnp.asarray(qp), jnp.asarray(trp), jnp.asarray(qlen),
+        jnp.asarray(tlen), L=L, **kw,
+    )
+    return np.asarray(out)[: len(q_list)]
+
+
+def sw_extend_reference(q, t, match=1, mismatch=-2, gap=-3, xdrop=64):
+    """Unbanded NumPy oracle of the same x-drop recurrence (for tests).
+
+    Mirrors the kernel's pruning semantics: pruning compares against the
+    best score over strictly earlier anti-diagonals; ties at the per-diagonal
+    max resolve to the smallest i (the kernel's smallest band index).
+    """
+    n, m = len(q), len(t)
+    H = np.full((n + 1, m + 1), NEG, np.int64)
+    H[0, 0] = 0
+    best, bi, bj = 0, 0, 0
+    for d in range(1, n + m + 1):
+        i_lo = max(0, d - m)
+        i_hi = min(n, d)
+        cand = []
+        for i in range(i_lo, i_hi + 1):
+            j = d - i
+            s = NEG
+            if i >= 1 and j >= 1 and H[i - 1, j - 1] > NEG // 2:
+                s = max(s, H[i - 1, j - 1] + (match if q[i - 1] == t[j - 1] else mismatch))
+            if i >= 1 and H[i - 1, j] > NEG // 2:
+                s = max(s, H[i - 1, j] + gap)
+            if j >= 1 and H[i, j - 1] > NEG // 2:
+                s = max(s, H[i, j - 1] + gap)
+            if s < best - xdrop:
+                s = NEG
+            H[i, j] = s
+            cand.append((s, i, j))
+        d_best = max(cand, key=lambda c: (c[0], -c[1]))
+        if d_best[0] > best:
+            best, bi, bj = d_best
+    return best, bi, bj
