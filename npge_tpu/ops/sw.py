@@ -22,15 +22,25 @@ Band geometry (static schedule — no data-dependent control flow):
         left  source (i,   j-1) at d-1 -> r   (d even) / r+1 (d odd)
 
 TPU data layout: the band dimension r lives on *sublanes* (axis 0) and the
-batch across *lanes* (axis 1, TB pairs per program). Per step the kernel does
-two dynamic W-row slices of the padded sequence buffers (dynamic sublane
-starts — the natively supported slicing direction) plus pure VPU work on
-[W, TB] registers; sublane rolls implement the parity shifts.
+batch across *lanes* (axis 1, TB pairs per program); all per-step work is
+pure VPU math on [W, TB] registers, with sublane rolls implementing the
+parity shifts.
 
-Inputs are pre-padded on host and stored transposed [L+2W, B]:
-    qp[x, b] = q_b[x - W]   (fill 254), so the q slice start W+ib-1 >= 0;
-    trp[x, b] = t_b[L-1-(x-W)] (pad-reversed, fill 255), so the t slice
-    start W+L-d+ib >= 0. The two fill values never compare equal.
+Character fetch (Mosaic on this toolchain only supports dynamic sublane
+slices at *aligned* starts — probed: int8 needs start % 32 == 0): diagonals
+are processed in supersteps of 64. Per superstep the kernel issues two
+32-aligned dynamic window loads of W+64 rows (q chars ascending, t chars
+pad-reversed), and the 64 inner steps take static sub-windows of those
+registers — the char window start moves by exactly (u+1)//2 (q) and -(u//2)
+(t) within a superstep, both bounded by 32.
+
+Inputs are pre-padded on host and stored transposed [L+2W, B] (W=128):
+    qp[x, b]  = q_b[x - W]        (fill 254) -> q[i-1] lives at row W+ib-1+r
+    trp[x, b] = t_b[L-1-(x-W-1)]  (fill 255) -> t[j-1] lives at row
+                 W+L-d+ib+1+r
+so with d0 = 64*SS + 2 the superstep base starts 64+32*SS (q) and
+32+L-32*SS (t window, loaded 32 rows early) are multiples of 32, and the
+two fill values never compare equal.
 """
 
 from __future__ import annotations
@@ -92,12 +102,17 @@ def _sw_kernel(
     bi = jnp.zeros((1, TB), jnp.int32)
     bj = jnp.zeros((1, TB), jnp.int32)
 
-    def body(d, carry):
+    SUPER = 64  # diagonals per superstep; char windows move by <= 32
+    WIN = W + SUPER  # rows per dynamic load
+
+    def step(d, ib, qs_all, ts_all, qoff, toff, carry):
+        """One anti-diagonal. qs_all/ts_all are the superstep's char
+        windows; qoff/toff are *static* row offsets into them."""
         prev2, prev, best, bi, bj = carry
-        ib, i, j = cell_ij(d)
-        # chars: q[i-1] at qp[W+ib-1+r]; t[j-1] at trp[W+L-d+ib+r]
-        qs = qp_ref[pl.ds(W + ib - 1, W), :].astype(jnp.int32)
-        ts = trp_ref[pl.ds(W + L - d + ib, W), :].astype(jnp.int32)
+        i = ib + band
+        j = d - i
+        qs = jax.lax.slice_in_dim(qs_all, qoff, qoff + W, axis=0)
+        ts = jax.lax.slice_in_dim(ts_all, toff, toff + W, axis=0)
         sub = jnp.where(qs == ts, match, mismatch)
 
         even = (d % 2) == 0
@@ -129,8 +144,28 @@ def _sw_kernel(
         best = jnp.maximum(best, col_best)
         return (prev, s, best, bi, bj)
 
+    n_super = pl.cdiv(2 * L + 1 - 2, SUPER)
+
+    def superstep(ss, carry):
+        d0 = 2 + ss * SUPER  # even; ib(d0) = d0//2 - W//2
+        # q row base for u=0: W + ib(d0) - 1 = W//2 + 32*ss  (aligned)
+        q0 = pl.multiple_of(W // 2 + 32 * ss, 32)
+        # t rows: W + L - d + ib + 1; at u=0 -> 64 + L - 32*ss; load 32 early
+        t0 = pl.multiple_of(32 + L - 32 * ss, 32)
+        qs_all = qp_ref[pl.ds(q0, WIN), :].astype(jnp.int32)
+        ts_all = trp_ref[pl.ds(t0, WIN), :].astype(jnp.int32)
+        for u in range(SUPER):
+            d = d0 + u
+            ib = (d + 1) // 2 - W // 2
+            qoff = (u + 1) // 2        # q window advance
+            toff = 32 - u // 2         # t window retreat (loaded 32 early)
+            carry = step(d, ib, qs_all, ts_all, qoff, toff, carry)
+        return carry
+
+    # extra diagonals beyond 2L in the last superstep are harmless: all
+    # their cells fail i<=qlen/j<=tlen and score NEG
     prev2, prev, best, bi, bj = jax.lax.fori_loop(
-        2, 2 * L + 1, body, (prev2, prev, best, bi, bj)
+        0, n_super, superstep, (prev2, prev, best, bi, bj)
     )
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TB), 0)
     out_ref[:, :] = jnp.where(
@@ -157,6 +192,7 @@ def sw_extend_padded(
     """
     Lp, B = qp.shape
     assert B % TB == 0 and Lp == L + 2 * W
+    assert L % 32 == 0 and W == 128, "superstep alignment needs L%32==0, W=128"
     kernel = partial(
         _sw_kernel, L=L, W=W, TB=TB,
         match=match, mismatch=mismatch, gap=gap, xdrop=xdrop,
@@ -198,7 +234,7 @@ def pad_for_sw(q_list, t_list, L: int, W: int = 128, TB: int = 128):
         qlen[0, b] = len(q)
         tlen[0, b] = len(t)
         qp[b, W : W + len(q)] = q
-        trp[b, W + L - len(t) : W + L] = t[::-1]
+        trp[b, W + 1 + L - len(t) : W + 1 + L] = t[::-1]
     return np.ascontiguousarray(qp.T), np.ascontiguousarray(trp.T), qlen, tlen
 
 
