@@ -28,8 +28,13 @@ from npge_tpu.algo.filter import best_good_slice
 
 
 def _block_score_key(b: Block, arena: GenomeArena):
+    """Admission priority: more fragments first (a position is better
+    explained by a block sharing it across more genomes — this is what lets
+    consensus-reseed candidates refine bigger but thinner blocks, mirroring
+    the effect of the reference's boundary-projection resolver), then total
+    coverage, then a canonical deterministic tie-break."""
     first = b.frags.row(int(np.argmin(b.frags.seq_id * (1 << 28) + b.frags.start)))
-    return (-b.n_frags * b.n_cols, -b.n_frags, first)
+    return (-b.n_frags, -b.n_frags * b.n_cols, first)
 
 
 def _col_positions(frag_row, n_cols: int) -> np.ndarray:
@@ -71,6 +76,17 @@ def resolve_overlaps(
             continue
         if not b.is_gapless:
             raise ValueError("resolve_overlaps expects gapless candidates")
+        # reject candidates whose own fragments overlap each other (can
+        # arise from consensus re-seed mapping): they could never satisfy
+        # the partition invariant
+        ivs = sorted(
+            (b.frags.seq_id[fi], b.frags.start[fi], b.frags.end[fi])
+            for fi in range(b.n_frags)
+        )
+        if any(
+            a[0] == c[0] and c[1] < a[2] for a, c in zip(ivs, ivs[1:])
+        ):
+            continue
         n = b.n_cols
         free = np.ones(n, dtype=bool)
         cols = []

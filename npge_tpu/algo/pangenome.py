@@ -21,8 +21,10 @@ import jax.numpy as jnp
 from npge_tpu.config import Config
 from npge_tpu.model.arena import GenomeArena
 from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.hashing import blockset_hash
 from npge_tpu.model.naming import assign_names
 from npge_tpu.algo.anchors import find_anchors
+from npge_tpu.algo.conseq import consensus_arena, deconseq
 from npge_tpu.algo.extender import extend_anchor_groups
 from npge_tpu.algo.joiner import join_blocks
 from npge_tpu.algo.overlaps import occupancy, resolve_overlaps
@@ -80,6 +82,40 @@ def build_pangenome(
     n_joins = join_blocks(bs)
     t.add("join", time.perf_counter() - t0)
     log(f"join: {n_joins} merges -> {len(bs.blocks)} blocks")
+
+    # ---- consensus re-seed fixed-point loop (replaces BLAST loop) ----
+    k = cfg.ANCHOR_SIZE
+    prev_hash = None
+    for round_no in range(cfg.MAX_LOOPS):
+        t0 = time.perf_counter()
+        occ = occupancy(arena, bs.blocks)
+        full = BlockSet(arena, list(bs.blocks) + rest_blocks(arena, occ))
+        full.canonicalize()
+        h = blockset_hash(full)
+        if h == prev_hash:
+            t.add("reseed", time.perf_counter() - t0)
+            break
+        prev_hash = h
+        k = max(cfg.MIN_ANCHOR_SIZE, k - (cfg.RESEED_SHRINK if round_no else 0))
+        cons, src = consensus_arena(full)
+        groups = find_anchors(cons, cfg, k=k)
+        cand_cons = extend_anchor_groups(cons, groups, cfg)
+        mapped = deconseq(cand_cons, src, full)
+        t.add("reseed", time.perf_counter() - t0)
+        log(
+            f"reseed {round_no}: k={k} {groups.n_groups} cons-groups -> "
+            f"{len(mapped)} mapped candidates"
+        )
+        if not mapped:
+            break
+        t0 = time.perf_counter()
+        accepted = resolve_overlaps(
+            [b for b in bs.blocks if b.n_frags >= 2] + mapped, arena, cfg
+        )
+        bs = BlockSet(arena, accepted)
+        join_blocks(bs)
+        t.add("resolve", time.perf_counter() - t0)
+        log(f"reseed {round_no}: -> {len(bs.blocks)} blocks after resolve+join")
 
     t0 = time.perf_counter()
     occ = occupancy(arena, bs.blocks)
