@@ -58,8 +58,8 @@ def check_is_pangenome(bs: BlockSet, cfg: Config) -> PangenomeReport:
     if rep.bad_blocks:
         rep.messages.append(f"{len(rep.bad_blocks)} bad blocks")
 
-    # 3. no joinable neighbors
-    rep.joinable = len(joinable_pairs(bs))
+    # 3. no joinable neighbors (incl. bounded-gap joins that would stay good)
+    rep.joinable = len(joinable_pairs(bs, cfg))
     if rep.joinable:
         rep.ok = False
         rep.messages.append(f"{rep.joinable} joinable block pairs")

@@ -2,13 +2,18 @@
 
 Equivalent of the reference's ``Joiner`` processor (``src/algo/Joiner.hpp``
 ⚠[B], SURVEY.md §2.3): two blocks are joinable when their fragments pair up
-one-to-one such that every pair sits adjacent on the same sequence with the
-same orientation and a single consistent direction, so the joined block is a
-valid alignment concatenation. Round-1 restriction: exact adjacency (gap 0);
-the reference's bounded-gap join limits [C] are a later refinement.
+one-to-one such that every pair sits on the same sequence with the same
+orientation, in one consistent direction, separated by at most MAX_JOIN_GAP
+positions with *no other fragment in between* (guaranteed here by deriving
+links from consecutive entries of the per-sequence sorted fragment index).
+Nonzero gap regions are aligned with the SimilarAligner patch MSA
+(algo/similar.py) and spliced in as gapped columns — the reference's
+"join within gap limits" [B]/[C]. A join is only performed if the joined
+block still satisfies the good-block predicate, so Joiner never breaks the
+IsPangenome quality invariant.
 
-Also exports ``joinable_pairs`` used by IsPangenome's "no joinable
-neighbors" predicate in dry mode [B].
+``joinable_pairs`` doubles as IsPangenome's dry-run "no joinable
+neighbors" check [B].
 """
 
 from __future__ import annotations
@@ -17,16 +22,19 @@ from collections import defaultdict
 
 import numpy as np
 
+from npge_tpu.config import Config
 from npge_tpu.model.blocks import Block, BlockSet
 from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.model.stats import is_good_block
+from npge_tpu.algo.similar import msa_short
 from npge_tpu.util import codes as C
 
 
-def _adjacency_links(bs: BlockSet):
-    """Yield (bi, fi, bj, fj, direction) for fragments of different blocks
-    that are exactly adjacent on a sequence. direction=+1 means block j's
-    columns continue block i's alignment (j after i in column space)."""
-    # index all fragments: (seq, start, end, ori, block, frag)
+def _adjacency_links(bs: BlockSet, max_gap: int):
+    """Yield (bi, fi, bj, fj, gap) for fragment pairs of different blocks
+    that are consecutive on a sequence (nothing between), same orientation,
+    separated by gap in [0, max_gap]. (bi, fi) precedes (bj, fj) in COLUMN
+    space."""
     per_seq: dict[int, list[tuple[int, int, int, int, int]]] = defaultdict(list)
     for bi, b in enumerate(bs.blocks):
         f = b.frags
@@ -39,27 +47,27 @@ def _adjacency_links(bs: BlockSet):
         for a in range(len(items) - 1):
             st1, en1, o1, b1, f1 = items[a]
             st2, en2, o2, b2, f2 = items[a + 1]
-            if en1 != st2 or b1 == b2 or o1 != o2:
+            gap = st2 - en1
+            if gap < 0 or gap > max_gap or b1 == b2 or o1 != o2:
                 continue
             if o1 == 1:
-                # downstream-in-sequence = downstream-in-columns
-                links.append((b1, f1, b2, f2, +1))
+                links.append((b1, f1, b2, f2, gap))
             else:
                 # minus strand reads right-to-left: the later-position
                 # fragment comes EARLIER in column space
-                links.append((b2, f2, b1, f1, +1))
+                links.append((b2, f2, b1, f1, gap))
     return links
 
 
-def joinable_pairs(bs: BlockSet) -> list[tuple[int, int, list[tuple[int, int]]]]:
-    """All (block_i, block_j, pairing) where j can be appended after i.
-
-    pairing is a list of (frag_of_i, frag_of_j). Requires a perfect 1:1
-    pairing covering every fragment of both blocks, all in the same
-    direction.
-    """
+def joinable_pairs(
+    bs: BlockSet, cfg: Config | None = None
+) -> list[tuple[int, int, list[tuple[int, int]]]]:
+    """All (block_i, block_j, pairing) where j can be appended after i and
+    the joined block remains good. pairing: list of (frag_of_i, frag_of_j).
+    Requires a perfect 1:1 pairing covering every fragment of both blocks."""
+    max_gap = cfg.MAX_JOIN_GAP if cfg else 0
     by_pair: dict[tuple[int, int], list[tuple[int, int]]] = defaultdict(list)
-    for b1, f1, b2, f2, _d in _adjacency_links(bs):
+    for b1, f1, b2, f2, _gap in _adjacency_links(bs, max_gap):
         by_pair[(b1, b2)].append((f1, f2))
     out = []
     for (b1, b2), pairs in sorted(by_pair.items()):
@@ -69,26 +77,58 @@ def joinable_pairs(bs: BlockSet) -> list[tuple[int, int, list[tuple[int, int]]]]
             continue
         if len({p[0] for p in pairs}) != n1 or len({p[1] for p in pairs}) != n1:
             continue
-        out.append((b1, b2, sorted(pairs)))
+        pairing = sorted(pairs)
+        if cfg is not None and n1 >= 2:
+            joined = _join_two(bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg)
+            if not is_good_block(joined, bs.arena, cfg):
+                continue
+        out.append((b1, b2, pairing))
     return out
 
 
-def _join_two(bs: BlockSet, b1: Block, b2: Block, pairing) -> Block:
-    rows1 = b1.rows(bs.arena)
-    rows2 = b2.rows(bs.arena)
+def _join_two(
+    bs: BlockSet, b1: Block, b2: Block, pairing, cfg: Config | None = None
+) -> Block:
+    """Join b2 after b1 in column space, bridging per-pair gaps."""
+    arena = bs.arena
+    rows1 = b1.rows(arena)
+    rows2 = b2.rows(arena)
+    gaps: list[np.ndarray] = []
     frows = []
-    arows = []
     for f1, f2 in pairing:
         s, st1, ln1, o = b1.frags.row(f1)
         _, st2, ln2, _ = b2.frags.row(f2)
-        frows.append((s, min(st1, st2), ln1 + ln2, o))
-        arows.append(np.concatenate([rows1[f1], rows2[f2]]))
-    aln = np.stack(arows)
+        if o == 1:
+            glo, ghi = st1 + ln1, st2
+            seg = arena.seq_codes(s)[glo:ghi]
+        else:
+            glo, ghi = st2 + ln2, st1
+            seg = C.revcomp(arena.seq_codes(s)[glo:ghi])
+        gaps.append(np.asarray(seg, np.uint8))
+        frows.append(
+            (s, min(st1, st2), ln1 + (ghi - glo) + ln2, o)
+        )
+    if all(len(g) == 0 for g in gaps):
+        aln = np.concatenate(
+            [rows1[[p[0] for p in pairing]], rows2[[p[1] for p in pairing]]],
+            axis=1,
+        )
+    else:
+        sw = dict(match=cfg.SW_MATCH, mismatch=cfg.SW_MISMATCH, gap=cfg.SW_GAP) if cfg else {}
+        mid = msa_short(gaps, **sw)
+        aln = np.concatenate(
+            [
+                rows1[[p[0] for p in pairing]],
+                mid,
+                rows2[[p[1] for p in pairing]],
+            ],
+            axis=1,
+        )
     gapless = not (aln == C.GAP).any()
     return Block(FragmentTable.from_rows(frows), None if gapless else aln)
 
 
-def join_blocks(bs: BlockSet) -> int:
+def join_blocks(bs: BlockSet, cfg: Config | None = None) -> int:
     """Greedily apply joins until none remain. Returns number of joins.
 
     Deterministic: candidate pairs are processed in sorted block-index
@@ -96,7 +136,7 @@ def join_blocks(bs: BlockSet) -> int:
     """
     total = 0
     while True:
-        cands = joinable_pairs(bs)
+        cands = joinable_pairs(bs, cfg)
         if not cands:
             return total
         consumed: set[int] = set()
@@ -104,7 +144,9 @@ def join_blocks(bs: BlockSet) -> int:
         for b1, b2, pairing in cands:
             if b1 in consumed or b2 in consumed:
                 continue
-            new_blocks.append(_join_two(bs, bs.blocks[b1], bs.blocks[b2], pairing))
+            new_blocks.append(
+                _join_two(bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg)
+            )
             consumed.update((b1, b2))
             total += 1
         bs.blocks = [

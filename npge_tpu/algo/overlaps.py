@@ -37,12 +37,20 @@ def _block_score_key(b: Block, arena: GenomeArena):
     return (-b.n_frags, -b.n_frags * b.n_cols, first)
 
 
-def _col_positions(frag_row, n_cols: int) -> np.ndarray:
-    """Sequence positions of alignment columns 0..n_cols-1 (gapless block)."""
+def _col_positions(frag_row, n_cols: int, aln_row=None) -> np.ndarray:
+    """Sequence position of each alignment column for one fragment;
+    -1 where the row holds a gap."""
     s, st, ln, o = frag_row
-    if o == 1:
-        return np.arange(st, st + n_cols)
-    return np.arange(st + ln - 1, st + ln - 1 - n_cols, -1)
+    if aln_row is None:
+        if o == 1:
+            return np.arange(st, st + n_cols)
+        return np.arange(st + ln - 1, st + ln - 1 - n_cols, -1)
+    from npge_tpu.util import codes as C
+
+    nongap = aln_row != C.GAP
+    k = np.cumsum(nongap) - 1  # non-gap ordinal per column
+    pos = np.where(o == 1, st + k, st + ln - 1 - k)
+    return np.where(nongap, pos, -1)
 
 
 def _runs(mask: np.ndarray):
@@ -74,8 +82,6 @@ def resolve_overlaps(
         b = cand[i]
         if b.n_frags < 2 or b.n_cols < cfg.MIN_LENGTH:
             continue
-        if not b.is_gapless:
-            raise ValueError("resolve_overlaps expects gapless candidates")
         # reject candidates whose own fragments overlap each other (can
         # arise from consensus re-seed mapping): they could never satisfy
         # the partition invariant
@@ -89,12 +95,14 @@ def resolve_overlaps(
             continue
         n = b.n_cols
         free = np.ones(n, dtype=bool)
-        cols = []
         for fi in range(b.n_frags):
             row = b.frags.row(fi)
-            pos = _col_positions(row, n)
-            cols.append(pos)
-            free &= ~occ[row[0]][pos]
+            aln_row = None if b.alignment is None else b.alignment[fi]
+            pos = _col_positions(row, n, aln_row)
+            occupied = np.zeros(n, dtype=bool)
+            has = pos >= 0
+            occupied[has] = occ[row[0]][pos[has]]
+            free &= ~occupied
         for c0, c1 in _runs(free):
             if c1 - c0 < cfg.MIN_LENGTH:
                 continue

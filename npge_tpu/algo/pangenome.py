@@ -79,7 +79,7 @@ def build_pangenome(
 
     t0 = time.perf_counter()
     bs = BlockSet(arena, accepted)
-    n_joins = join_blocks(bs)
+    n_joins = join_blocks(bs, cfg)
     t.add("join", time.perf_counter() - t0)
     log(f"join: {n_joins} merges -> {len(bs.blocks)} blocks")
 
@@ -113,7 +113,7 @@ def build_pangenome(
             [b for b in bs.blocks if b.n_frags >= 2] + mapped, arena, cfg
         )
         bs = BlockSet(arena, accepted)
-        join_blocks(bs)
+        join_blocks(bs, cfg)
         t.add("resolve", time.perf_counter() - t0)
         log(f"reseed {round_no}: -> {len(bs.blocks)} blocks after resolve+join")
 

@@ -24,6 +24,7 @@ class Config:
     MIN_END: int = 10              # first/last MIN_END columns must be identical [C]
     ANCHOR_SIZE: int = 21          # exact-match seed length (odd => no palindromic k-mers) [C]
     MAX_ANCHOR_FRAGMENTS: int = 256  # drop k-mer groups bigger than this (repeat guard; our knob)
+    MAX_JOIN_GAP: int = 100        # max per-fragment gap bridged by Joiner [C]
     WORKERS: int = 1               # kept for CLI parity; parallelism is jit/mesh, not threads
 
     # ---- engine knobs (no reference equivalent; TPU-native design) ----

@@ -68,13 +68,16 @@ class Block:
             out[i] = arena.fragment_codes(s, st, ln, o)
         return out
 
-    def consensus(self, arena: GenomeArena) -> np.ndarray:
-        """Ungapped consensus codes (the reference's ConSeq, ⚠[B]/[C]).
+    def consensus_with_map(
+        self, arena: GenomeArena
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(consensus codes, column index of each consensus position).
 
         Per column: counted votes over real bases only; a column is kept if
         non-gap entries outnumber gaps (strictly); consensus char is the most
         frequent real base, ties broken toward the smallest code; N if the
-        kept column has no real base. Deterministic.
+        kept column has no real base. Deterministic. The map lets DeConSeq
+        translate consensus coordinates back to alignment columns.
         """
         rows = self.rows(arena)
         f = rows.shape[0]
@@ -86,7 +89,11 @@ class Block:
         best = counts.argmax(axis=0).astype(np.uint8)  # argmax -> smallest on ties
         has_base = counts.max(axis=0) > 0
         cons = np.where(has_base, best, np.uint8(C.N))
-        return cons[keep]
+        return cons[keep], np.flatnonzero(keep)
+
+    def consensus(self, arena: GenomeArena) -> np.ndarray:
+        """Ungapped consensus codes (the reference's ConSeq, ⚠[B]/[C])."""
+        return self.consensus_with_map(arena)[0]
 
     # ---- coordinate transforms (convert_position equivalent, ⚠[B]) ----
     def row_positions_consumed(self, row: int, col: int) -> int:

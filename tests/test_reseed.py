@@ -21,7 +21,8 @@ def test_consensus_arena_and_deconseq_roundtrip():
         arena, [Block(FragmentTable.from_rows([(0, 0, 12, 1), (1, 0, 12, 1)]))]
     )
     cons, src = consensus_arena(bs)
-    assert cons.n_seqs == 1 and src == [0]
+    assert cons.n_seqs == 1 and src[0][0] == 0
+    assert np.array_equal(src[0][1], np.arange(12))
     assert C.decode(cons.seq_codes(0)) == "ACGTACGTACGT"
     # a candidate on the consensus maps back to all source fragments
     cand = [Block(FragmentTable.from_rows([(0, 2, 8, 1), (0, 2, 8, 1)]))]

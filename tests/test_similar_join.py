@@ -1,0 +1,87 @@
+"""SimilarAligner patch MSA + bounded-gap Joiner (gapped blocks)."""
+
+import numpy as np
+
+from npge_tpu.algo.joiner import join_blocks, joinable_pairs
+from npge_tpu.algo.similar import msa_short, nw_align
+from npge_tpu.config import default_config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.model.stats import is_good_block
+from npge_tpu.util import codes as C
+
+
+def test_nw_align_simple_gap():
+    a = C.encode("ACGTACGT")
+    b = C.encode("ACGACGT")  # T deleted
+    ra, rb = nw_align(a, b)
+    assert len(ra) == len(rb) == 8
+    assert C.decode(ra) == "ACGTACGT"
+    assert C.decode(rb).replace("-", "") == "ACGACGT"
+    assert (rb == C.GAP).sum() == 1
+
+
+def test_msa_short_including_empty():
+    segs = [C.encode("ACGT"), C.encode("AC"), np.zeros(0, np.uint8)]
+    m = msa_short(segs)
+    assert m.shape == (3, 4)
+    assert C.decode(m[0]) == "ACGT"
+    assert C.decode(m[2]) == "----"
+    # rows with gaps removed reproduce the inputs
+    for i, s in enumerate(segs):
+        assert C.decode(m[i]).replace("-", "") == C.decode(s)
+
+
+def test_gap_join_bridges_indel():
+    cfg = default_config().replace(MIN_LENGTH=8, MIN_END=1, MAX_JOIN_GAP=5)
+    # genome B has 2 extra bases between the two conserved halves
+    left = "ACGTACGTACGT"
+    right = "TTGGCCAATTGG"
+    arena = GenomeArena.from_strings(
+        {"A&c&l": left + right, "B&c&l": left + "CA" + right}
+    )
+    bs = BlockSet(
+        arena,
+        [
+            Block(FragmentTable.from_rows([(0, 0, 12, 1), (1, 0, 12, 1)])),
+            Block(FragmentTable.from_rows([(0, 12, 12, 1), (1, 14, 12, 1)])),
+        ],
+    )
+    pairs = joinable_pairs(bs, cfg)
+    assert len(pairs) == 1
+    n = join_blocks(bs, cfg)
+    assert n == 1 and len(bs.blocks) == 1
+    b = bs.blocks[0]
+    assert not b.is_gapless
+    assert b.n_cols == 26  # 12 + 2 (gap columns) + 12
+    rows = b.rows(arena)
+    # fragment texts survive the join
+    assert C.decode(rows[0]).replace("-", "") == left + right
+    assert C.decode(rows[1]).replace("-", "") == left + "CA" + right
+    # coordinates cover both genomes exactly
+    assert b.frags.row(0) == (0, 0, 24, 1)
+    assert b.frags.row(1) == (1, 0, 26, 1)
+    assert is_good_block(b, arena, cfg)
+
+
+def test_gap_join_respects_goodness():
+    # joining across a junk gap that would wreck identity must be refused
+    cfg = default_config().replace(
+        MIN_LENGTH=8, MIN_END=1, MAX_JOIN_GAP=50, MIN_IDENTITY="0.95"
+    )
+    left = "ACGTACGTACGT"
+    right = "TTGGCCAATTGG"
+    junk_a = "AAAAAAAAAAAAAAAAAAAAAAAA"
+    junk_b = "CCCCCCCCCCCCCCCCCCCCCCCC"
+    arena = GenomeArena.from_strings(
+        {"A&c&l": left + junk_a + right, "B&c&l": left + junk_b + right}
+    )
+    bs = BlockSet(
+        arena,
+        [
+            Block(FragmentTable.from_rows([(0, 0, 12, 1), (1, 0, 12, 1)])),
+            Block(FragmentTable.from_rows([(0, 36, 12, 1), (1, 36, 12, 1)])),
+        ],
+    )
+    assert joinable_pairs(bs, cfg) == []
