@@ -1,0 +1,99 @@
+"""PrintTree / ConsensusTree / FragmentDistance — phylogeny post-processing.
+
+Equivalent of the reference's tree processors (``src/algo/PrintTree.cpp``,
+``ConsensusTree.cpp``, ``FragmentDistance.cpp`` ⚠[B], SURVEY.md §2.3):
+per-block alignment p-distances, per-block NJ/UPGMA trees (leaves = genome
+names), and a majority consensus tree over per-block trees with branch
+support.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.util import codes as C
+from npge_tpu.util.trees import (
+    TreeNode,
+    majority_consensus,
+    neighbor_joining,
+    upgma,
+)
+
+
+def fragment_distances(block: Block, arena) -> tuple[np.ndarray, np.ndarray]:
+    """Pairwise p-distance between fragments over mutually non-gap real-base
+    columns. Returns (dist[F,F] float, compared[F,F] int)."""
+    rows = block.rows(arena)
+    F = rows.shape[0]
+    real = (rows < C.N_REAL_BASES)
+    dist = np.zeros((F, F))
+    comp = np.zeros((F, F), np.int64)
+    for i in range(F):
+        for j in range(i + 1, F):
+            both = real[i] & real[j]
+            n = int(both.sum())
+            mism = int((rows[i][both] != rows[j][both]).sum())
+            comp[i, j] = comp[j, i] = n
+            dist[i, j] = dist[j, i] = (mism / n) if n else 0.0
+    return dist, comp
+
+
+def block_tree(
+    block: Block, bs: BlockSet, method: str = "nj"
+) -> TreeNode | None:
+    """Tree over a block's fragments, leaves labeled by genome name.
+    Requires >= 3 fragments with distinct genomes; None otherwise."""
+    genome_of_seq = bs.arena.genome_id_of_seq()
+    genomes = bs.arena.genomes()
+    labels = [
+        genomes[genome_of_seq[block.frags.seq_id[i]]]
+        for i in range(block.n_frags)
+    ]
+    if len(set(labels)) != len(labels) or block.n_frags < 3:
+        return None
+    dist, _ = fragment_distances(block, bs.arena)
+    fn = neighbor_joining if method == "nj" else upgma
+    return fn(dist, labels)
+
+
+def consensus_tree(
+    bs: BlockSet, method: str = "nj", min_fragments: int = 3
+) -> tuple[TreeNode, int]:
+    """Majority consensus over the trees of all stem-like blocks (one
+    fragment per genome, all genomes). Returns (tree, n_trees_used)."""
+    n_genomes = len(bs.arena.genomes())
+    trees = []
+    for b in bs.blocks:
+        if b.n_frags != n_genomes or b.n_frags < min_fragments:
+            continue
+        t = block_tree(b, bs, method)
+        if t is not None:
+            trees.append(t)
+    names = bs.arena.genomes()
+    return majority_consensus(trees, names), len(trees)
+
+
+def distances_tsv(bs: BlockSet) -> str:
+    """FragmentDistance parity: TSV of pairwise fragment distances."""
+    from npge_tpu.io.bs import fragment_id
+
+    out = ["block\tfragment_1\tfragment_2\tdistance\tcompared_columns"]
+    for b in bs.blocks:
+        if b.n_frags < 2:
+            continue
+        dist, comp = fragment_distances(b, bs.arena)
+        for i in range(b.n_frags):
+            for j in range(i + 1, b.n_frags):
+                out.append(
+                    "\t".join(
+                        [
+                            b.name or "?",
+                            fragment_id(bs.arena, *b.frags.row(i)),
+                            fragment_id(bs.arena, *b.frags.row(j)),
+                            f"{dist[i, j]:.6f}",
+                            str(int(comp[i, j])),
+                        ]
+                    )
+                )
+    return "\n".join(out) + "\n"

@@ -1,0 +1,192 @@
+"""npge-tpu CLI — mirrors the reference's documented workflow.
+
+The reference's user workflow is ``npge GetData / Prepare / Examine /
+MakePangenome / PostProcessing`` [A] (SURVEY.md §2.3). Equivalents:
+
+    python -m npge_tpu.cli prepare   --fasta a.fa b.fa [--genomes genomes.tsv] -w WORK
+    python -m npge_tpu.cli examine   -w WORK
+    python -m npge_tpu.cli make-pangenome -w WORK [-o KEY=VALUE ...]
+    python -m npge_tpu.cli post-processing -w WORK
+    python -m npge_tpu.cli info|check|hash -w WORK [--stage STAGE]
+
+(GetData downloads genomes over HTTP in the reference; this environment has
+no network, so `prepare` ingests local FASTA files, applying the
+``genomes.tsv`` accession -> GENOME&CHR&c|l renaming when given.)
+
+Global options use the reference's UPPER_CASE knob names, overridable with
+``-o MIN_LENGTH=100 -o MIN_IDENTITY=0.9`` or a JSON config via ``--config``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from npge_tpu.config import Config, default_config
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.model.hashing import blockset_hash
+
+
+def _load_cfg(args) -> Config:
+    cfg = default_config()
+    if getattr(args, "config", None):
+        with open(args.config) as fh:
+            cfg = cfg.replace(**json.load(fh))
+    for kv in getattr(args, "opt", None) or []:
+        k, v = kv.split("=", 1)
+        cur = getattr(cfg, k)  # raises on unknown knob
+        if k == "MIN_IDENTITY":
+            cfg = cfg.replace(**{k: v})
+        elif isinstance(cur, bool):
+            cfg = cfg.replace(**{k: v.lower() in ("1", "true", "yes")})
+        else:
+            cfg = cfg.replace(**{k: int(v)})
+    return cfg
+
+
+def _load_input(workdir: str) -> BlockSet:
+    from npge_tpu.io.checkpoint import load_stage
+
+    for stage in ("pangenome", "input"):
+        bs = load_stage(workdir, stage)
+        if bs is not None:
+            return bs
+    raise SystemExit(f"no input.bs/pangenome.bs under {workdir}; run prepare first")
+
+
+def cmd_prepare(args) -> None:
+    from npge_tpu.io.checkpoint import save_stage
+    from npge_tpu.io.fasta import arena_from_fasta_files, read_genomes_tsv
+
+    rename = {}
+    if args.genomes:
+        rename = dict(read_genomes_tsv(args.genomes))
+    arena = arena_from_fasta_files(args.fasta, rename)
+    bs = BlockSet(arena, [])
+    path = save_stage(args.workdir, "input", bs)
+    print(f"prepared {arena.n_seqs} sequences, {arena.total_length} bp -> {path}")
+
+
+def cmd_examine(args) -> None:
+    from npge_tpu.algo.reports import info_text
+
+    bs = _load_input(args.workdir)
+    print(info_text(bs))
+
+
+def cmd_make_pangenome(args) -> None:
+    from npge_tpu.algo.is_pangenome import check_is_pangenome
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.algo.reports import json_line
+    from npge_tpu.io.checkpoint import load_stage, save_stage
+
+    cfg = _load_cfg(args)
+    src = load_stage(args.workdir, "input")
+    if src is None:
+        raise SystemExit(f"no input.bs under {args.workdir}; run prepare first")
+    bs, timings = build_pangenome(src.arena, cfg, verbose=args.verbose)
+    rep = check_is_pangenome(bs, cfg)
+    path = save_stage(
+        args.workdir, "pangenome", bs,
+        is_pangenome=rep.ok, messages=rep.messages,
+        timings=timings.seconds,
+    )
+    print(json_line("pangenome", bs, is_pangenome=rep.ok))
+    if args.timing:
+        print(timings.report(), file=sys.stderr)
+    if not rep.ok:
+        print("WARNING: IsPangenome checks failed:", rep.messages, file=sys.stderr)
+
+
+def cmd_post_processing(args) -> None:
+    from npge_tpu.algo.bsa import exact_stem_bsa
+    from npge_tpu.algo.mutations import mutations_tsv
+    from npge_tpu.algo.reports import block_info_tsv, info_text
+    from npge_tpu.algo.trees import consensus_tree, distances_tsv
+
+    bs = _load_input(args.workdir)
+    out = args.workdir
+    with open(os.path.join(out, "blocks.tsv"), "w") as fh:
+        fh.write(block_info_tsv(bs))
+    with open(os.path.join(out, "mutations.tsv"), "w") as fh:
+        fh.write(mutations_tsv(bs))
+    with open(os.path.join(out, "distances.tsv"), "w") as fh:
+        fh.write(distances_tsv(bs))
+    with open(os.path.join(out, "bsa.tsv"), "w") as fh:
+        fh.write(exact_stem_bsa(bs).tsv())
+    tree, n_used = consensus_tree(bs)
+    with open(os.path.join(out, "consensus_tree.nwk"), "w") as fh:
+        fh.write(tree.newick(with_support=True) + "\n")
+    with open(os.path.join(out, "info.txt"), "w") as fh:
+        fh.write(info_text(bs) + "\n")
+    print(
+        f"post-processing written to {out}: blocks.tsv mutations.tsv "
+        f"distances.tsv bsa.tsv consensus_tree.nwk (over {n_used} stem trees) info.txt"
+    )
+
+
+def cmd_info(args) -> None:
+    from npge_tpu.algo.reports import info_text
+
+    print(info_text(_load_input(args.workdir)))
+
+
+def cmd_check(args) -> None:
+    from npge_tpu.algo.is_pangenome import check_is_pangenome
+
+    cfg = _load_cfg(args)
+    rep = check_is_pangenome(_load_input(args.workdir), cfg)
+    print("OK" if rep.ok else "FAIL")
+    for m in rep.messages:
+        print(" -", m)
+    sys.exit(0 if rep.ok else 1)
+
+
+def cmd_hash(args) -> None:
+    print(f"{blockset_hash(_load_input(args.workdir)):016x}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="npge-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, cfg_opts=True):
+        sp.add_argument("-w", "--workdir", default="npge-work")
+        if cfg_opts:
+            sp.add_argument("--config", help="JSON config file")
+            sp.add_argument(
+                "-o", "--opt", action="append",
+                help="override a global option, e.g. -o MIN_LENGTH=100",
+            )
+
+    sp = sub.add_parser("prepare", help="ingest FASTA genomes")
+    sp.add_argument("--fasta", nargs="+", required=True)
+    sp.add_argument("--genomes", help="genomes.tsv accession renaming table")
+    common(sp, cfg_opts=False)
+    sp.set_defaults(fn=cmd_prepare)
+
+    for name, fn, extra in [
+        ("examine", cmd_examine, False),
+        ("make-pangenome", cmd_make_pangenome, True),
+        ("post-processing", cmd_post_processing, False),
+        ("info", cmd_info, False),
+        ("check", cmd_check, True),
+        ("hash", cmd_hash, False),
+    ]:
+        sp = sub.add_parser(name)
+        common(sp)
+        if name == "make-pangenome":
+            sp.add_argument("--verbose", action="store_true")
+            sp.add_argument("--timing", action="store_true",
+                            help="print per-stage wall times (reference --timing)")
+        sp.set_defaults(fn=fn)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -143,10 +143,16 @@ class Block:
         return Block(inv, aln)
 
     def canonicalize(self) -> "Block":
-        """Sort fragments into the canonical deterministic order."""
+        """Sort fragments into the canonical deterministic order and fix
+        block orientation so the first fragment reads forward."""
         order = self.frags.sort_order()
         aln = self.alignment[order] if self.alignment is not None else None
-        return Block(self.frags.take(order), aln, self.name)
+        b = Block(self.frags.take(order), aln, self.name)
+        if len(b.frags) and b.frags.ori[0] == -1:
+            inv = b.inverse()
+            inv.name = b.name
+            return inv
+        return b
 
 
 class BlockSet:
