@@ -1,0 +1,265 @@
+"""Block surgery: MoveGaps / CutGaps / SplitRepeats / FindLowSimilar /
+MergeUnique / TrySmth.
+
+Equivalents of the reference's alignment-hygiene and block-splitting
+processors (``src/algo/MoveGaps.cpp``, ``CutGaps.cpp``, ``SplitRepeats.cpp``,
+``FindLowSimilar.cpp``, ``MergeUnique.cpp``, ``TrySmth.cpp`` ⚠[B],
+SURVEY.md §2.3). Semantics marked [C] are reconstructions to be reconciled
+when the reference mount is restored:
+
+  - move_gaps: a row starting/ending with <= max_tail bases followed/preceded
+    by a gap run gets those bases pushed to the block edge (gaps inward ->
+    outward), normalizing ragged row ends.
+  - cut_gaps: trim the alignment to the widest window whose boundary columns
+    are gapless in every row.
+  - split_repeats: cluster a mixed-paralog block's fragments (UPGMA over
+    p-distances, deterministic) into sub-blocks with at most one fragment
+    per genome each.
+  - find_low_similar: recursively extract maximal good slices; everything
+    between them returns to Rest.
+  - merge_unique: absorb a unique block into an adjacent multi-fragment
+    block as an insertion (gap columns for all other rows) when the result
+    keeps MIN_LENGTH/MIN_IDENTITY (the MIN_END identical-ends rule is
+    deliberately not enforced — an absorbed insertion at a block edge can
+    never satisfy it; like the reference, MergeUnique belongs to analysis
+    pipelines, not the core pangenome loop).
+  - try_smth: speculative step — snapshot, run, revert if the quality metric
+    (shared positions, then fewer blocks) got worse [B].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from npge_tpu.config import Config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.model.hashing import blockset_hash
+from npge_tpu.model.stats import column_classes, is_good_block
+from npge_tpu.algo.filter import best_good_slice
+from npge_tpu.util import codes as C
+
+
+def move_gaps(block: Block, arena: GenomeArena, max_tail: int = 3) -> Block:
+    """Push short ragged row heads/tails outward so gaps sit at the block
+    edge. Fragment coordinates are unchanged (pure alignment rewrite)."""
+    if block.alignment is None:
+        return block
+    aln = block.alignment.copy()
+    for r in range(aln.shape[0]):
+        row = aln[r]
+        nz = np.flatnonzero(row != C.GAP)
+        if len(nz) == 0:
+            continue
+        runs = np.flatnonzero(np.diff(nz) > 1)  # k: gap between nz[k], nz[k+1]
+        if len(runs):
+            m = int(runs[0]) + 1  # bases before the first internal gap
+            if m <= max_tail:
+                chars = row[nz[:m]].copy()
+                row[nz[:m]] = C.GAP
+                row[nz[m] - m : nz[m]] = chars
+            nz = np.flatnonzero(row != C.GAP)
+            runs = np.flatnonzero(np.diff(nz) > 1)
+        if len(runs):
+            last = int(runs[-1])
+            m = len(nz) - last - 1  # bases after the last internal gap
+            if m <= max_tail:
+                chars = row[nz[last + 1 :]].copy()
+                row[nz[last + 1 :]] = C.GAP
+                row[nz[last] + 1 : nz[last] + 1 + m] = chars
+    return Block(block.frags, aln, block.name)
+
+
+def cut_gaps(block: Block, arena: GenomeArena) -> Block | None:
+    """Trim to the widest window with gapless boundary columns in all rows
+    (strict mode [B]). Returns None if no gapless column exists."""
+    if block.alignment is None:
+        return block
+    gapless = (block.alignment != C.GAP).all(axis=0)
+    idx = np.flatnonzero(gapless)
+    if len(idx) == 0:
+        return None
+    return block.slice(int(idx[0]), int(idx[-1]) + 1)
+
+
+def split_repeats(
+    block: Block, bs: BlockSet, cfg: Config
+) -> list[Block] | None:
+    """Split a mixed-paralog block into per-genome-unique sub-blocks.
+    Returns None if the block needs no split; [] if no good split exists."""
+    from npge_tpu.algo.trees import fragment_distances
+
+    genome_of_seq = bs.arena.genome_id_of_seq()
+    g = genome_of_seq[block.frags.seq_id]
+    if len(np.unique(g)) == len(g):
+        return None  # no genome repeated
+    dist, _ = fragment_distances(block, bs.arena)
+    # deterministic agglomerative clustering: merge closest pairs while no
+    # cluster would hold two fragments of one genome
+    F = block.n_frags
+    cluster = list(range(F))
+
+    def can_merge(a, b):
+        ga = [g[i] for i in range(F) if cluster[i] == a]
+        gb = [g[i] for i in range(F) if cluster[i] == b]
+        return len(set(ga) & set(gb)) == 0
+
+    while True:
+        best = None
+        ids = sorted(set(cluster))
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                if not can_merge(a, b):
+                    continue
+                d = min(
+                    dist[i, j]
+                    for i in range(F)
+                    if cluster[i] == a
+                    for j in range(F)
+                    if cluster[j] == b
+                )
+                key = (d, a, b)
+                if best is None or key < best:
+                    best = key
+        if best is None:
+            break
+        _, a, b = best
+        cluster = [a if c == b else c for c in cluster]
+    out = []
+    for cid in sorted(set(cluster)):
+        members = [i for i in range(F) if cluster[i] == cid]
+        if len(members) < 2:
+            continue
+        rows = [block.frags.row(i) for i in members]
+        aln = None
+        if block.alignment is not None:
+            sub = block.alignment[members]
+            # dropping all-gap columns keeps fragment coords valid
+            aln = sub[:, (sub != C.GAP).any(axis=0)]
+            if not (aln == C.GAP).any():
+                aln = None
+        cand = Block(FragmentTable.from_rows(rows), aln)
+        if is_good_block(cand, bs.arena, cfg):
+            out.append(cand)
+    return out
+
+
+def find_low_similar(
+    block: Block, arena: GenomeArena, cfg: Config
+) -> list[Block]:
+    """Recursively extract maximal good slices of a block; low-similarity
+    stretches between them are dropped (returned to Rest by the caller)."""
+    if block.n_frags < 2:
+        return [block]
+    out: list[Block] = []
+
+    def rec(c0: int, c1: int) -> None:
+        if c1 - c0 < cfg.MIN_LENGTH:
+            return
+        piece = block.slice(c0, c1)
+        if piece is None or piece.n_frags < 2:
+            return
+        if is_good_block(piece, arena, cfg):
+            out.append(piece)
+            return
+        ident, gapless = column_classes(piece.rows(arena))
+        sl = best_good_slice(ident & gapless, cfg)
+        if sl is None:
+            return
+        out.append(piece.slice(*sl))
+        rec(c0, c0 + sl[0])
+        rec(c0 + sl[1], c1)
+
+    rec(0, block.n_cols)
+    out.sort(key=lambda b: b.frags.row(0) if len(b.frags) else (1 << 30,))
+    return out
+
+
+def merge_unique(bs: BlockSet, cfg: Config) -> int:
+    """Absorb unique blocks into an adjacent multi-fragment block as an
+    insertion, when the merged block stays good. Returns merges done."""
+    merged = 0
+    changed = True
+    while changed:
+        changed = False
+        uniques = [
+            (i, b) for i, b in enumerate(bs.blocks) if b.n_frags == 1
+        ]
+        multis = [
+            (i, b) for i, b in enumerate(bs.blocks) if b.n_frags >= 2
+        ]
+        for ui, ub in uniques:
+            s, st, ln, _ = ub.frags.row(0)
+            hit = None
+            for mi, mb in multis:
+                for fi in range(mb.n_frags):
+                    ms, mst, mln, mo = mb.frags.row(fi)
+                    if ms != s:
+                        continue
+                    if mst + mln == st:  # unique right after fragment fi
+                        hit = (mi, fi, "after")
+                        break
+                    if st + ln == mst:
+                        hit = (mi, fi, "before")
+                        break
+                if hit:
+                    break
+            if not hit:
+                continue
+            mi, fi, side = hit
+            mb = bs.blocks[mi]
+            rows = mb.rows(bs.arena)
+            _, _, _, mo = mb.frags.row(fi)
+            seg = bs.arena.fragment_codes(s, st, ln, mo)
+            ins = np.full((mb.n_frags, ln), C.GAP, np.uint8)
+            ins[fi] = seg
+            col_after = (side == "after") == (mo == 1)
+            aln = (
+                np.concatenate([rows, ins], axis=1)
+                if col_after
+                else np.concatenate([ins, rows], axis=1)
+            )
+            frows = []
+            for gi in range(mb.n_frags):
+                gs, gst, gln, go = mb.frags.row(gi)
+                if gi == fi:
+                    frows.append((gs, min(gst, st), gln + ln, go))
+                else:
+                    frows.append((gs, gst, gln, go))
+            cand = Block(FragmentTable.from_rows(frows), aln)
+            ident, gapless = column_classes(cand.rows(bs.arena))
+            num, den = int((ident & gapless).sum()), cand.n_cols
+            if den < cfg.MIN_LENGTH or not cfg.MIN_IDENTITY.le_ratio(num, den):
+                continue
+            bs.blocks[mi] = cand
+            bs.blocks.pop(ui)
+            merged += 1
+            changed = True
+            break
+    return merged
+
+
+def quality_metric(bs: BlockSet) -> tuple[int, int]:
+    """(shared positions, -n_blocks): higher is better [B]-approx."""
+    shared = sum(
+        int(b.frags.length.sum()) for b in bs.blocks if b.n_frags >= 2
+    )
+    return (shared, -len(bs.blocks))
+
+
+def try_smth(bs: BlockSet, fn, cfg: Config) -> bool:
+    """Run fn(bs) speculatively; revert if the metric worsened (the
+    reference's TrySmth revert-if-worse via blockset hash ⚠[B]).
+    Returns True if the change was kept."""
+    before_metric = quality_metric(bs)
+    before_hash = blockset_hash(bs)
+    snapshot = list(bs.blocks)
+    snapshot_blocks = [Block(b.frags, b.alignment, b.name) for b in snapshot]
+    fn(bs)
+    if quality_metric(bs) >= before_metric:
+        return True
+    bs.blocks = snapshot_blocks
+    assert blockset_hash(bs) == before_hash
+    return False

@@ -1,0 +1,118 @@
+"""Block surgery processors: MoveGaps/CutGaps/SplitRepeats/FindLowSimilar/
+MergeUnique/TrySmth."""
+
+import numpy as np
+
+from npge_tpu.algo.surgery import (
+    cut_gaps,
+    find_low_similar,
+    merge_unique,
+    move_gaps,
+    quality_metric,
+    split_repeats,
+    try_smth,
+)
+from npge_tpu.config import default_config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.util import codes as C
+
+
+def gapped_block():
+    arena = GenomeArena.from_strings({"A&c&l": "ACGTACGT", "B&c&l": "ATACGT"})
+    aln = np.stack([C.encode("ACGTACGT"), C.encode("A--TACGT")])
+    aln[1] = C.encode("A--TACGT")
+    return arena, Block(
+        FragmentTable.from_rows([(0, 0, 8, 1), (1, 0, 6, 1)]), aln
+    )
+
+
+def test_move_gaps_head():
+    arena = GenomeArena.from_strings({"A&c&l": "ACGTACGT", "B&c&l": "ATACGT"})
+    # row B: one base, internal gap, then the rest -> base pushed inward
+    aln = np.stack([C.encode("ACGTACGT"), C.encode("A--TACGT")])
+    b = Block(FragmentTable.from_rows([(0, 0, 8, 1), (1, 0, 6, 1)]), aln)
+    mb = move_gaps(b, arena, max_tail=2)
+    assert C.decode(mb.alignment[1]) == "--ATACGT"
+    # fragment text unchanged
+    assert C.decode(mb.alignment[1]).replace("-", "") == "ATACGT"
+
+
+def test_cut_gaps():
+    arena = GenomeArena.from_strings({"A&c&l": "ACGTACGT", "B&c&l": "CGTACG"})
+    aln = np.stack([C.encode("ACGTACGT"), C.encode("-CGTACG-")])
+    b = Block(FragmentTable.from_rows([(0, 0, 8, 1), (1, 0, 6, 1)]), aln)
+    cb = cut_gaps(b, arena)
+    assert cb.n_cols == 6
+    assert (cb.alignment is None) or not (cb.alignment == C.GAP).any()
+    assert cb.frags.row(0) == (0, 1, 6, 1)
+
+
+def test_split_repeats():
+    cfg = default_config().replace(MIN_LENGTH=8, MIN_END=1, MIN_IDENTITY="0.7")
+    # two genomes, each with two copies of a repeat; copies differ between
+    # "paralog groups": group1 = AAAA-ish, group2 = CCCC-ish
+    s1 = "ACGTACGTGGGG" + "TGCATGCAGGGG"
+    s2 = "ACGTACGTGGGG" + "TGCATGCAGGGG"
+    arena = GenomeArena.from_strings({"A&c&l": s1, "B&c&l": s2})
+    b = Block(
+        FragmentTable.from_rows(
+            [(0, 0, 12, 1), (0, 12, 12, 1), (1, 0, 12, 1), (1, 12, 12, 1)]
+        )
+    )
+    bs = BlockSet(arena, [b])
+    subs = split_repeats(b, bs, cfg)
+    assert subs is not None and len(subs) == 2
+    for sb in subs:
+        assert sb.n_frags == 2
+        # each sub-block pairs the homologous copies (identical texts)
+        rows = sb.rows(arena)
+        assert np.array_equal(rows[0], rows[1])
+
+
+def test_find_low_similar():
+    cfg = default_config().replace(MIN_LENGTH=10, MIN_END=1, MIN_IDENTITY="0.9")
+    left = "ACGTACGTACGTACG"
+    junk_a = "AAAACCCCGGGGTTTT"
+    junk_b = "TTTTGGGGCCCCAAAA"
+    right = "TGCATGCATGCATGC"
+    arena = GenomeArena.from_strings(
+        {"A&c&l": left + junk_a + right, "B&c&l": left + junk_b + right}
+    )
+    b = Block(
+        FragmentTable.from_rows([(0, 0, 46, 1), (1, 0, 46, 1)])
+    )
+    pieces = find_low_similar(b, arena, cfg)
+    assert len(pieces) == 2
+    lens = sorted(p.n_cols for p in pieces)
+    assert lens[0] >= 10 and lens[1] <= 16
+
+
+def test_merge_unique_and_trysmth():
+    cfg = default_config().replace(MIN_LENGTH=8, MIN_END=1, MIN_IDENTITY="0.7")
+    arena = GenomeArena.from_strings(
+        {"A&c&l": "ACGTACGTACGTAA", "B&c&l": "ACGTACGTACGT"}
+    )
+    bs = BlockSet(
+        arena,
+        [
+            Block(FragmentTable.from_rows([(0, 0, 12, 1), (1, 0, 12, 1)])),
+            Block(FragmentTable.from_rows([(0, 12, 2, 1)])),
+        ],
+    )
+    n = merge_unique(bs, cfg)
+    assert n == 1 and len(bs.blocks) == 1
+    b = bs.blocks[0]
+    assert b.frags.row(0) == (0, 0, 14, 1)
+    assert C.decode(b.rows(arena)[0]).replace("-", "") == "ACGTACGTACGTAA"
+
+    # try_smth reverts a harmful change
+    bs2 = BlockSet(arena, list(bs.blocks))
+    before = quality_metric(bs2)
+
+    def clobber(x):
+        x.blocks = []
+
+    kept = try_smth(bs2, clobber, cfg)
+    assert not kept and quality_metric(bs2) == before
