@@ -149,6 +149,29 @@ def cmd_hash(args) -> None:
     print(f"{blockset_hash(_load_input(args.workdir)):016x}")
 
 
+def cmd_run(args) -> None:
+    """Run a named processor/pipe (reference: ``npge <Processor>``) or a
+    Python script with meta/bs/cfg in scope (Lua-terminal parity)."""
+    from npge_tpu import meta
+    from npge_tpu.io.checkpoint import save_stage
+
+    cfg = _load_cfg(args)
+    bs = _load_input(args.workdir)
+    if args.name.endswith(".py"):
+        bs = meta.run_script(args.name, bs, cfg)
+    else:
+        bs = meta.get(args.name)(bs, cfg)
+    path = save_stage(args.workdir, args.stage_name, bs)
+    print(f"{args.name} -> {len(bs.blocks)} blocks -> {path}")
+
+
+def cmd_processors(args) -> None:
+    from npge_tpu import meta
+
+    for n in meta.names():
+        print(n)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="npge-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -183,6 +206,16 @@ def main(argv=None) -> None:
             sp.add_argument("--timing", action="store_true",
                             help="print per-stage wall times (reference --timing)")
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("run", help="run a named processor/pipe or script")
+    sp.add_argument("name", help="processor name or .py script path")
+    sp.add_argument("--stage-name", default="stage")
+    common(sp)
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("processors", help="list registered processors")
+    common(sp, cfg_opts=False)
+    sp.set_defaults(fn=cmd_processors)
 
     args = p.parse_args(argv)
     args.fn(args)
