@@ -25,7 +25,8 @@ def _open(path: str):
 
 
 def read_fasta(path_or_file) -> list[tuple[str, np.ndarray]]:
-    """Read FASTA -> [(header_first_word, codes uint8)]."""
+    """Read FASTA -> [(header_first_word, codes uint8)]. Uses the C++
+    single-pass parser (npge_tpu.native) when available."""
     close = False
     if isinstance(path_or_file, (str, os.PathLike)):
         fh = _open(str(path_or_file))
@@ -39,6 +40,15 @@ def read_fasta(path_or_file) -> list[tuple[str, np.ndarray]]:
     finally:
         if close:
             fh.close()
+    from npge_tpu import native
+
+    res = native.fasta_encode(data)
+    if res is not None:
+        headers, codes, offsets = res
+        return [
+            (headers[i], codes[offsets[i] : offsets[i + 1]])
+            for i in range(len(headers))
+        ]
     out: list[tuple[str, np.ndarray]] = []
     name = None
     chunks: list[bytes] = []
