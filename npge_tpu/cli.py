@@ -62,9 +62,32 @@ def cmd_prepare(args) -> None:
     from npge_tpu.io.fasta import arena_from_fasta_files, read_genomes_tsv
 
     rename = {}
+    fasta = list(args.fasta or [])
     if args.genomes:
-        rename = dict(read_genomes_tsv(args.genomes))
-    arena = arena_from_fasta_files(args.fasta, rename)
+        table = read_genomes_tsv(args.genomes)
+        rename = dict(table)
+        if not fasta:
+            # GetData parity: the reference downloads accessions from
+            # ENA/NCBI over HTTP [B]; this environment has no network, so
+            # accessions resolve against local --data-dir files instead.
+            missing = []
+            for acc, _name in table:
+                for ext in (".fa", ".fasta", ".fa.gz", ".fasta.gz"):
+                    p = os.path.join(args.data_dir or ".", acc + ext)
+                    if os.path.exists(p):
+                        fasta.append(p)
+                        break
+                else:
+                    missing.append(acc)
+            if missing:
+                raise SystemExit(
+                    f"accessions without local FASTA under {args.data_dir or '.'}: "
+                    f"{', '.join(missing)} (no network in this environment; "
+                    "place <accession>.fa files in --data-dir)"
+                )
+    if not fasta:
+        raise SystemExit("prepare needs --fasta files or --genomes with --data-dir")
+    arena = arena_from_fasta_files(fasta, rename)
     bs = BlockSet(arena, [])
     path = save_stage(args.workdir, "input", bs)
     print(f"prepared {arena.n_seqs} sequences, {arena.total_length} bp -> {path}")
@@ -172,6 +195,15 @@ def cmd_processors(args) -> None:
         print(n)
 
 
+def cmd_report(args) -> None:
+    from npge_tpu.io.html_report import write_report
+
+    bs = _load_input(args.workdir)
+    out = os.path.join(args.workdir, "report.html")
+    write_report(bs, out, _load_cfg(args))
+    print(f"wrote {out}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="npge-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -185,9 +217,10 @@ def main(argv=None) -> None:
                 help="override a global option, e.g. -o MIN_LENGTH=100",
             )
 
-    sp = sub.add_parser("prepare", help="ingest FASTA genomes")
-    sp.add_argument("--fasta", nargs="+", required=True)
+    sp = sub.add_parser("prepare", help="ingest FASTA genomes (GetData+Prepare)")
+    sp.add_argument("--fasta", nargs="+")
     sp.add_argument("--genomes", help="genomes.tsv accession renaming table")
+    sp.add_argument("--data-dir", help="directory with <accession>.fa files")
     common(sp, cfg_opts=False)
     sp.set_defaults(fn=cmd_prepare)
 
@@ -216,6 +249,10 @@ def main(argv=None) -> None:
     sp = sub.add_parser("processors", help="list registered processors")
     common(sp, cfg_opts=False)
     sp.set_defaults(fn=cmd_processors)
+
+    sp = sub.add_parser("report", help="write a self-contained HTML report")
+    common(sp)
+    sp.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)
     args.fn(args)

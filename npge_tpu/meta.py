@@ -184,6 +184,15 @@ def _find_low_similar(bs: BlockSet, cfg: Config) -> BlockSet:
     return bs
 
 
+@register("Align")
+@register("MetaAligner")
+def _align(bs: BlockSet, cfg: Config) -> BlockSet:
+    from npge_tpu.algo.aligners import align_block
+
+    bs.blocks = [align_block(b, bs.arena, cfg) for b in bs.blocks]
+    return bs
+
+
 @register("RemoveAlignment")
 def _remove_alignment(bs: BlockSet, cfg: Config) -> BlockSet:
     for b in bs.blocks:
