@@ -163,3 +163,187 @@ void npge_free_mask_and(const unsigned char* occ, int64_t occ_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Greedy gapless overlap resolution — the host hot loop of the pipeline
+// (algo/overlaps.py resolve_overlaps, C++ fast path). Exact same semantics
+// as the Python implementation; parity-tested. Candidates are gapless
+// multi-fragment blocks in CSR form; admission slices each candidate to its
+// free column runs, re-checks the good-block predicate (identity as exact
+// integer rational; identical first/last min_end columns), extracts the
+// longest good slice when a run fails, and marks occupancy.
+
+namespace {
+
+struct GoodSliceResult { int64_t c0, c1; bool ok; };
+
+// Longest [c0,c1) window of good_col with: all-good m-prefix and m-suffix,
+// length >= min_len, and sum(den*good - num) >= 0. Mirrors
+// algo/filter.best_good_slice (ties -> leftmost).
+GoodSliceResult best_good_slice(const unsigned char* good, int64_t n,
+                                int64_t m, int64_t min_len,
+                                int64_t num, int64_t den) {
+    if (m < 1) m = 1;
+    if (min_len < m) min_len = m;
+    if (n < min_len) return {0, 0, false};
+    // wall[i] = good[i..i+m-1] all true, i in [0, n-m]
+    int64_t nw = n - m + 1;
+    // allocate per call (n small); simple heap buffers
+    int64_t* P = new int64_t[n + 1];
+    P[0] = 0;
+    for (int64_t i = 0; i < n; ++i) P[i + 1] = P[i] + (den * (good[i] ? 1 : 0) - num);
+    // prefix count of good for window-all test
+    int64_t* G = new int64_t[n + 1];
+    G[0] = 0;
+    for (int64_t i = 0; i < n; ++i) G[i + 1] = G[i] + (good[i] ? 1 : 0);
+    // start candidates l (wall true), with prefix running-min of P[l]
+    int64_t* starts = new int64_t[nw];
+    int64_t* prefmin = new int64_t[nw];
+    int64_t ns = 0;
+    for (int64_t l = 0; l < nw; ++l) {
+        if (G[l + m] - G[l] == m) {
+            starts[ns] = l;
+            prefmin[ns] = ns ? (P[l] < prefmin[ns - 1] ? P[l] : prefmin[ns - 1]) : P[l];
+            ++ns;
+        }
+    }
+    GoodSliceResult best{0, 0, false};
+    int64_t best_len = 0;
+    if (ns) {
+        for (int64_t e = 0; e < nw; ++e) {
+            if (G[e + m] - G[e] != m) continue;
+            int64_t r = e + m - 1;  // inclusive end
+            int64_t max_l = r - min_len + 1;
+            if (max_l < starts[0]) continue;
+            // hi = count of starts <= max_l (binary search)
+            int64_t lo = 0, hi = ns;
+            while (lo < hi) { int64_t mid = (lo + hi) / 2; if (starts[mid] <= max_l) lo = mid + 1; else hi = mid; }
+            int64_t cnt = lo;
+            if (!cnt) continue;
+            int64_t target = P[r + 1];
+            // first j in [0, cnt) with prefmin[j] <= target (prefmin non-increasing)
+            lo = 0; hi = cnt;
+            while (lo < hi) { int64_t mid = (lo + hi) / 2; if (prefmin[mid] <= target) hi = mid; else lo = mid + 1; }
+            if (lo >= cnt) continue;
+            int64_t l = starts[lo];
+            int64_t length = r - l + 1;
+            if (length > best_len) { best_len = length; best = {l, r + 1, true}; }
+        }
+    }
+    delete[] P; delete[] G; delete[] starts; delete[] prefmin;
+    return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of output blocks, or -1 on output overflow.
+int64_t npge_resolve_gapless(
+    const unsigned char* codes, const int64_t* seq_offsets, int32_t n_seqs,
+    unsigned char* occ,  // [total_len] concatenated per-seq occupancy
+    const int64_t* cand_offsets, const int32_t* f_seq, const int32_t* f_start,
+    const int32_t* f_len, const int32_t* f_ori,
+    const int64_t* order, int64_t n_cand,
+    int64_t min_length, int64_t min_end, int64_t ident_num, int64_t ident_den,
+    int64_t* out_offsets, int32_t* o_seq, int32_t* o_start, int32_t* o_len,
+    int32_t* o_ori, int64_t max_out_blocks, int64_t max_out_frags) {
+    int64_t nb = 0, nf = 0;
+    out_offsets[0] = 0;
+    // scratch reused across candidates
+    int64_t cap = 0;
+    unsigned char* freec = nullptr;
+    unsigned char* goodc = nullptr;
+    for (int64_t oi = 0; oi < n_cand; ++oi) {
+        int64_t ci = order[oi];
+        int64_t fa = cand_offsets[ci], fb = cand_offsets[ci + 1];
+        int64_t F = fb - fa;
+        if (F < 2) continue;
+        int64_t n_cols = f_len[fa];
+        if (n_cols < min_length) continue;
+        // self-overlap check (O(F^2); F is small)
+        bool selfov = false;
+        for (int64_t i = fa; i < fb && !selfov; ++i)
+            for (int64_t j = i + 1; j < fb; ++j)
+                if (f_seq[i] == f_seq[j]) {
+                    int64_t a1 = f_start[i], b1 = a1 + f_len[i];
+                    int64_t a2 = f_start[j], b2 = a2 + f_len[j];
+                    if (a1 < b2 && a2 < b1) { selfov = true; break; }
+                }
+        if (selfov) continue;
+        if (n_cols > cap) {
+            delete[] freec; delete[] goodc;
+            cap = n_cols * 2;
+            freec = new unsigned char[cap];
+            goodc = new unsigned char[cap];
+        }
+        for (int64_t c = 0; c < n_cols; ++c) { freec[c] = 1; }
+        // free mask + per-column identity
+        for (int64_t c = 0; c < n_cols; ++c) {
+            unsigned char mn = 255, mx = 0;
+            bool freecol = true;
+            for (int64_t i = fa; i < fb; ++i) {
+                int64_t pos = f_ori[i] == 1
+                                  ? (int64_t)f_start[i] + c
+                                  : (int64_t)f_start[i] + f_len[i] - 1 - c;
+                int64_t gp = seq_offsets[f_seq[i]] + pos;
+                if (occ[gp]) freecol = false;
+                unsigned char ch = codes[gp];
+                if (f_ori[i] != 1 && ch < 4) ch = 3 - ch;
+                if (ch < mn) mn = ch;
+                if (ch > mx) mx = ch;
+            }
+            freec[c] = freecol ? 1 : 0;
+            goodc[c] = (mn == mx && mx < 4) ? 1 : 0;
+        }
+        // maximal free runs
+        int64_t c = 0;
+        while (c < n_cols) {
+            if (!freec[c]) { ++c; continue; }
+            int64_t r0 = c;
+            while (c < n_cols && freec[c]) ++c;
+            int64_t r1 = c;
+            if (r1 - r0 < min_length) continue;
+            // goodness of the whole run
+            int64_t gsum = 0;
+            for (int64_t x = r0; x < r1; ++x) gsum += goodc[x];
+            int64_t L = r1 - r0;
+            int64_t m = min_end < L ? min_end : L;
+            bool ends_ok = true;  // m<=0: no ends requirement (python parity)
+            for (int64_t x = 0; x < m; ++x)
+                if (!goodc[r0 + x] || !goodc[r1 - 1 - x]) { ends_ok = false; break; }
+            int64_t a0 = r0, a1 = r1;
+            bool ok = ends_ok && gsum * ident_den >= ident_num * L;
+            if (!ok) {
+                GoodSliceResult gs = best_good_slice(
+                    goodc + r0, L, min_end, min_length, ident_num, ident_den);
+                if (!gs.ok) continue;
+                a0 = r0 + gs.c0;
+                a1 = r0 + gs.c1;
+            }
+            // accept slice [a0, a1)
+            if (nb >= max_out_blocks || nf + F > max_out_frags) {
+                delete[] freec; delete[] goodc;
+                return -1;
+            }
+            for (int64_t i = fa; i < fb; ++i) {
+                int64_t st, ln = a1 - a0;
+                if (f_ori[i] == 1) st = f_start[i] + a0;
+                else st = (int64_t)f_start[i] + f_len[i] - a1;
+                o_seq[nf] = f_seq[i];
+                o_start[nf] = (int32_t)st;
+                o_len[nf] = (int32_t)ln;
+                o_ori[nf] = f_ori[i];
+                int64_t base = seq_offsets[f_seq[i]] + st;
+                for (int64_t x = 0; x < ln; ++x) occ[base + x] = 1;
+                ++nf;
+            }
+            ++nb;
+            out_offsets[nb] = nf;
+        }
+    }
+    delete[] freec; delete[] goodc;
+    return nb;
+}
+
+}  // extern "C"

@@ -31,10 +31,17 @@ from npge_tpu.util import codes as C
 
 
 def _adjacency_links(bs: BlockSet, max_gap: int):
-    """Yield (bi, fi, bj, fj, gap) for fragment pairs of different blocks
-    that are consecutive on a sequence (nothing between), same orientation,
-    separated by gap in [0, max_gap]. (bi, fi) precedes (bj, fj) in COLUMN
-    space."""
+    """Yield (bi, fi, bj, fj, flip) for fragment pairs of different blocks
+    that are consecutive on a sequence (nothing between) and separated by a
+    gap in [0, max_gap]. (bi, fi) precedes (bj, fj) in block i's COLUMN
+    space; flip means block j must be inverted before concatenation.
+
+    Orientation-general: a block and its inverse represent the same aligned
+    object, so joinability must not depend on the stored representation
+    (anchor canonicalization makes representations arbitrary). For the
+    earlier-on-sequence fragment with ori +1, the later fragment continues
+    its columns; for the later fragment with ori -1 (reading right-to-left),
+    the earlier fragment continues its columns."""
     per_seq: dict[int, list[tuple[int, int, int, int, int]]] = defaultdict(list)
     for bi, b in enumerate(bs.blocks):
         f = b.frags
@@ -48,14 +55,12 @@ def _adjacency_links(bs: BlockSet, max_gap: int):
             st1, en1, o1, b1, f1 = items[a]
             st2, en2, o2, b2, f2 = items[a + 1]
             gap = st2 - en1
-            if gap < 0 or gap > max_gap or b1 == b2 or o1 != o2:
+            if gap < 0 or gap > max_gap or b1 == b2:
                 continue
             if o1 == 1:
-                links.append((b1, f1, b2, f2, gap))
-            else:
-                # minus strand reads right-to-left: the later-position
-                # fragment comes EARLIER in column space
-                links.append((b2, f2, b1, f1, gap))
+                links.append((b1, f1, b2, f2, o2 != 1))
+            if o2 == -1:
+                links.append((b2, f2, b1, f1, o1 != -1))
     return links
 
 
@@ -66,11 +71,11 @@ def joinable_pairs(
     the joined block remains good. pairing: list of (frag_of_i, frag_of_j).
     Requires a perfect 1:1 pairing covering every fragment of both blocks."""
     max_gap = cfg.MAX_JOIN_GAP if cfg else 0
-    by_pair: dict[tuple[int, int], list[tuple[int, int]]] = defaultdict(list)
-    for b1, f1, b2, f2, _gap in _adjacency_links(bs, max_gap):
-        by_pair[(b1, b2)].append((f1, f2))
+    by_pair: dict[tuple[int, int, bool], list[tuple[int, int]]] = defaultdict(list)
+    for b1, f1, b2, f2, flip in _adjacency_links(bs, max_gap):
+        by_pair[(b1, b2, flip)].append((f1, f2))
     out = []
-    for (b1, b2), pairs in sorted(by_pair.items()):
+    for (b1, b2, flip), pairs in sorted(by_pair.items()):
         n1 = bs.blocks[b1].n_frags
         n2 = bs.blocks[b2].n_frags
         if n1 != n2 or len(pairs) != n1:
@@ -79,18 +84,28 @@ def joinable_pairs(
             continue
         pairing = sorted(pairs)
         if cfg is not None and n1 >= 2:
-            joined = _join_two(bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg)
+            joined = _join_two(
+                bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip
+            )
             if not is_good_block(joined, bs.arena, cfg):
                 continue
-        out.append((b1, b2, pairing))
+        out.append((b1, b2, pairing, flip))
     return out
 
 
 def _join_two(
-    bs: BlockSet, b1: Block, b2: Block, pairing, cfg: Config | None = None
+    bs: BlockSet,
+    b1: Block,
+    b2: Block,
+    pairing,
+    cfg: Config | None = None,
+    flip: bool = False,
 ) -> Block:
-    """Join b2 after b1 in column space, bridging per-pair gaps."""
+    """Join b2 after b1 in b1's column space, bridging per-pair gaps.
+    flip inverts b2 first (fragment row order is preserved by inverse)."""
     arena = bs.arena
+    if flip:
+        b2 = b2.inverse()
     rows1 = b1.rows(arena)
     rows2 = b2.rows(arena)
     gaps: list[np.ndarray] = []
@@ -141,11 +156,11 @@ def join_blocks(bs: BlockSet, cfg: Config | None = None) -> int:
             return total
         consumed: set[int] = set()
         new_blocks: list[Block] = []
-        for b1, b2, pairing in cands:
+        for b1, b2, pairing, flip in cands:
             if b1 in consumed or b2 in consumed:
                 continue
             new_blocks.append(
-                _join_two(bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg)
+                _join_two(bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip)
             )
             consumed.update((b1, b2))
             total += 1

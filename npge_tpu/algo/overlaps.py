@@ -67,57 +67,111 @@ def _runs(mask: np.ndarray):
     return list(zip(starts.tolist(), ends.tolist()))
 
 
+def _admit_python(
+    b: Block, arena, cfg: Config, occ: list[np.ndarray], accepted: list[Block]
+) -> None:
+    """Admit one candidate against per-sequence occupancy (uint8 views)."""
+    # reject candidates whose own fragments overlap each other (can arise
+    # from consensus re-seed mapping): they could never satisfy the
+    # partition invariant
+    ivs = sorted(
+        (b.frags.seq_id[fi], b.frags.start[fi], b.frags.end[fi])
+        for fi in range(b.n_frags)
+    )
+    if any(a[0] == c[0] and c[1] < a[2] for a, c in zip(ivs, ivs[1:])):
+        return
+    n = b.n_cols
+    free = np.ones(n, dtype=bool)
+    for fi in range(b.n_frags):
+        row = b.frags.row(fi)
+        aln_row = None if b.alignment is None else b.alignment[fi]
+        pos = _col_positions(row, n, aln_row)
+        occupied = np.zeros(n, dtype=bool)
+        has = pos >= 0
+        occupied[has] = occ[row[0]][pos[has]] != 0
+        free &= ~occupied
+    for c0, c1 in _runs(free):
+        if c1 - c0 < cfg.MIN_LENGTH:
+            continue
+        piece = b.slice(c0, c1)
+        if not is_good_block(piece, arena, cfg):
+            ident, gapless = column_classes(piece.rows(arena))
+            sl = best_good_slice(ident & gapless, cfg)
+            if sl is None:
+                continue
+            piece = piece.slice(*sl)
+        accepted.append(piece)
+        for fi in range(piece.n_frags):
+            row = piece.frags.row(fi)
+            occ[row[0]][row[1] : row[1] + row[2]] = 1
+
+
 def resolve_overlaps(
-    cand: list[Block], arena: GenomeArena, cfg: Config
+    cand: list[Block], arena: GenomeArena, cfg: Config, use_native: bool = True
 ) -> list[Block]:
-    """Greedy admission of candidate (gapless) blocks into an overlap-free,
-    all-good set. Returns the admitted blocks; unclaimed positions are left
-    for Rest."""
+    """Greedy admission of candidate blocks into an overlap-free, all-good
+    set. Returns the admitted blocks; unclaimed positions are left for Rest.
+
+    Gapless candidates run through the C++ fast path
+    (native.resolve_gapless, exact same semantics); gapped candidates (and
+    everything, when the native library is absent) run the Python path.
+    Both share one occupancy bitmap, processed in one global greedy order,
+    so results are identical either way (parity-tested)."""
+    from npge_tpu import native
+    from npge_tpu.model.fragments import FragmentTable
+
+    occ_concat = np.zeros(arena.total_length, np.uint8)
     occ = [
-        np.zeros(arena.seq_len(i), dtype=bool) for i in range(arena.n_seqs)
+        occ_concat[arena.offsets[i] : arena.offsets[i + 1]]
+        for i in range(arena.n_seqs)
     ]
     order = sorted(range(len(cand)), key=lambda i: _block_score_key(cand[i], arena))
     accepted: list[Block] = []
-    for i in order:
-        b = cand[i]
+    native_ok = use_native and native.have_native()
+    i = 0
+    while i < len(order):
+        b = cand[order[i]]
         if b.n_frags < 2 or b.n_cols < cfg.MIN_LENGTH:
+            i += 1
             continue
-        # reject candidates whose own fragments overlap each other (can
-        # arise from consensus re-seed mapping): they could never satisfy
-        # the partition invariant
-        ivs = sorted(
-            (b.frags.seq_id[fi], b.frags.start[fi], b.frags.end[fi])
-            for fi in range(b.n_frags)
+        if not (native_ok and b.is_gapless):
+            _admit_python(b, arena, cfg, occ, accepted)
+            i += 1
+            continue
+        # maximal run of consecutive gapless candidates -> one C++ call
+        j = i
+        seg: list[Block] = []
+        while j < len(order):
+            nb = cand[order[j]]
+            if not nb.is_gapless:
+                break
+            if nb.n_frags >= 2 and nb.n_cols >= cfg.MIN_LENGTH:
+                seg.append(nb)
+            j += 1
+        offs = np.zeros(len(seg) + 1, np.int64)
+        np.cumsum([s.n_frags for s in seg], out=offs[1:])
+        f_seq = np.concatenate([s.frags.seq_id for s in seg])
+        f_start = np.concatenate([s.frags.start for s in seg])
+        f_len = np.concatenate([s.frags.length for s in seg])
+        f_ori = np.concatenate([s.frags.ori for s in seg])
+        res = native.resolve_gapless(
+            arena.codes, arena.offsets, occ_concat,
+            offs, f_seq, f_start, f_len, f_ori,
+            np.arange(len(seg), dtype=np.int64),
+            cfg.MIN_LENGTH, cfg.MIN_END,
+            cfg.MIN_IDENTITY.num, cfg.MIN_IDENTITY.den,
         )
-        if any(
-            a[0] == c[0] and c[1] < a[2] for a, c in zip(ivs, ivs[1:])
-        ):
-            continue
-        n = b.n_cols
-        free = np.ones(n, dtype=bool)
-        for fi in range(b.n_frags):
-            row = b.frags.row(fi)
-            aln_row = None if b.alignment is None else b.alignment[fi]
-            pos = _col_positions(row, n, aln_row)
-            occupied = np.zeros(n, dtype=bool)
-            has = pos >= 0
-            occupied[has] = occ[row[0]][pos[has]]
-            free &= ~occupied
-        for c0, c1 in _runs(free):
-            if c1 - c0 < cfg.MIN_LENGTH:
-                continue
-            piece = b.slice(c0, c1)
-            if not is_good_block(piece, arena, cfg):
-                ident, gapless = column_classes(piece.rows(arena))
-                sl = best_good_slice(ident & gapless, cfg)
-                if sl is None:
-                    continue
-                piece = piece.slice(*sl)
-            # admit
-            accepted.append(piece)
-            for fi in range(piece.n_frags):
-                row = piece.frags.row(fi)
-                occ[row[0]][row[1] : row[1] + row[2]] = True
+        out_off, o_seq, o_start, o_len, o_ori = res
+        for k in range(len(out_off) - 1):
+            a, e = int(out_off[k]), int(out_off[k + 1])
+            accepted.append(
+                Block(
+                    FragmentTable(
+                        o_seq[a:e], o_start[a:e], o_len[a:e], o_ori[a:e]
+                    )
+                )
+            )
+        i = j
     return accepted
 
 

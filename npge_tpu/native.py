@@ -66,6 +66,15 @@ def _load():
         c_u8p, ctypes.c_int64, c_i32p, c_i32p, ctypes.c_int64,
     ]
     lib.npge_uncovered_runs.restype = ctypes.c_int64
+    lib.npge_resolve_gapless.argtypes = [
+        c_u8p, c_i64p, ctypes.c_int32, c_u8p,
+        c_i64p, c_i32p, c_i32p, c_i32p, c_i32p,
+        c_i64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        c_i64p, c_i32p, c_i32p, c_i32p, c_i32p,
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.npge_resolve_gapless.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -149,6 +158,68 @@ def mark_intervals(occ: np.ndarray, start: np.ndarray, length: np.ndarray):
         return
     for s, ln in zip(start, length):
         occ[s : s + ln] = 1
+
+
+def resolve_gapless(
+    codes: np.ndarray,
+    seq_offsets: np.ndarray,
+    occ_concat: np.ndarray,
+    cand_offsets: np.ndarray,
+    f_seq: np.ndarray,
+    f_start: np.ndarray,
+    f_len: np.ndarray,
+    f_ori: np.ndarray,
+    order: np.ndarray,
+    min_length: int,
+    min_end: int,
+    ident_num: int,
+    ident_den: int,
+):
+    """C++ greedy admission of gapless candidates. Mutates occ_concat.
+    Returns (out_offsets, o_seq, o_start, o_len, o_ori) or None if the
+    native library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    n_cand = len(order)
+    max_blocks = max(1024, 4 * n_cand)
+    max_frags = max(4096, int(cand_offsets[-1]) * 4)
+    while True:
+        out_off = np.zeros(max_blocks + 1, np.int64)
+        o_seq = np.empty(max_frags, np.int32)
+        o_start = np.empty(max_frags, np.int32)
+        o_len = np.empty(max_frags, np.int32)
+        o_ori = np.empty(max_frags, np.int32)
+        occ_save = occ_concat.copy()
+        nb = lib.npge_resolve_gapless(
+            np.ascontiguousarray(codes, np.uint8),
+            np.ascontiguousarray(seq_offsets, np.int64),
+            len(seq_offsets) - 1,
+            occ_concat,
+            np.ascontiguousarray(cand_offsets, np.int64),
+            np.ascontiguousarray(f_seq, np.int32),
+            np.ascontiguousarray(f_start, np.int32),
+            np.ascontiguousarray(f_len, np.int32),
+            np.ascontiguousarray(f_ori, np.int32),
+            np.ascontiguousarray(order, np.int64),
+            n_cand,
+            min_length, min_end, ident_num, ident_den,
+            out_off, o_seq, o_start, o_len, o_ori,
+            max_blocks, max_frags,
+        )
+        if nb >= 0:
+            nf = int(out_off[nb])
+            return (
+                out_off[: nb + 1].copy(),
+                o_seq[:nf].copy(),
+                o_start[:nf].copy(),
+                o_len[:nf].copy(),
+                o_ori[:nf].copy(),
+            )
+        # overflow: restore occupancy and retry with bigger buffers
+        occ_concat[:] = occ_save
+        max_blocks *= 4
+        max_frags *= 4
 
 
 def uncovered_runs(occ: np.ndarray):

@@ -55,13 +55,32 @@ def test_joinable_minus_strand_direction():
     )
 
 
-def test_not_joinable_mixed_ori_or_nonadjacent():
+def test_joinable_opposite_representation():
+    # a block stored in inverted representation is STILL joinable (the
+    # joiner must be representation-invariant; the join flips it back)
     arena = two_genome_world()
     bs = BlockSet(
         arena,
         [
             Block(FragmentTable.from_rows([(0, 0, 6, 1), (1, 0, 6, 1)])),
             Block(FragmentTable.from_rows([(0, 6, 6, -1), (1, 6, 6, -1)])),
+        ],
+    )
+    assert len(joinable_pairs(bs)) >= 1
+    join_blocks(bs)
+    assert len(bs.blocks) == 1
+    b = bs.blocks[0].canonicalize()
+    assert C.decode(b.rows(arena)[0]) == "ACGTACGTACGT"
+
+
+def test_not_joinable_inconsistent_ori_or_nonadjacent():
+    arena = two_genome_world()
+    # genuinely inconsistent: relative orientation differs between genomes
+    bs = BlockSet(
+        arena,
+        [
+            Block(FragmentTable.from_rows([(0, 0, 6, 1), (1, 0, 6, 1)])),
+            Block(FragmentTable.from_rows([(0, 6, 6, -1), (1, 6, 6, 1)])),
         ],
     )
     assert joinable_pairs(bs) == []
