@@ -54,6 +54,58 @@ class AnchorGroups:
         return np.diff(self.offsets)
 
 
+def dedupe_parallel_groups(
+    groups: AnchorGroups, window: int
+) -> AnchorGroups:
+    """Drop groups that are shifted copies of a nearby kept group.
+
+    Adjacent minimizers of one conserved locus yield many groups whose
+    occurrence sets are parallel translates (same sequences, same strands,
+    identical position deltas). Extending every one is redundant — they all
+    grow into the same block and lose in overlap resolution. Key = (seqs,
+    strands, position deltas); within a key, groups whose first position is
+    within ``window`` of the previously kept group are dropped (the kept
+    seed's extension covers the same regions). Deterministic: groups are
+    scanned in canonical (key-sorted) order.
+    """
+    if groups.n_groups == 0:
+        return groups
+    from collections import defaultdict
+
+    keep = np.ones(groups.n_groups, dtype=bool)
+    by_key: dict[tuple, list[tuple[int, int]]] = defaultdict(list)
+    for g in range(groups.n_groups):
+        a, b = groups.offsets[g], groups.offsets[g + 1]
+        pos = groups.pos[a:b]
+        key = (
+            groups.seq_id[a:b].tobytes(),
+            groups.strand[a:b].tobytes(),
+            (pos[1:] - pos[:-1]).tobytes(),
+        )
+        by_key[key].append((int(pos[0]), g))
+    for lst in by_key.values():
+        lst.sort()
+        last = None
+        for p0, g in lst:
+            if last is not None and p0 - last <= window:
+                keep[g] = False
+            else:
+                last = p0
+    if keep.all():
+        return groups
+    sizes = groups.sizes()[keep]
+    keep_m = np.repeat(keep, groups.sizes())
+    offsets = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    return AnchorGroups(
+        groups.k,
+        offsets,
+        groups.pos[keep_m],
+        groups.seq_id[keep_m],
+        groups.strand[keep_m],
+    )
+
+
 def find_anchors(
     arena: GenomeArena,
     cfg: Config,
@@ -74,13 +126,20 @@ def find_anchors(
     h, l, pos, strand = find_anchor_occurrences(
         codes_dev, seq_id_dev, k, cfg.MINIMIZER_WINDOW
     )
+    return form_groups(h, l, pos, strand, arena, cfg, k)
+
+
+def form_groups(h, l, pos, strand, arena: GenomeArena, cfg: Config, k: int) -> AnchorGroups:
+    """Group key-sorted occurrences, apply size bounds and parallel-group
+    dedupe. Shared by the single-device and mesh-sharded paths so both are
+    bit-identical by construction."""
     if len(h) == 0:
         return AnchorGroups(
             k,
             np.zeros(1, np.int64),
-            pos.astype(np.int64),
+            np.asarray(pos, np.int64),
             np.zeros(0, np.int32),
-            strand,
+            np.asarray(strand, np.int8),
         )
     new = np.ones(len(h), dtype=bool)
     new[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
@@ -96,4 +155,9 @@ def find_anchors(
     seq_id = (
         np.searchsorted(arena.offsets, pos, side="right").astype(np.int32) - 1
     )
-    return AnchorGroups(k, offsets, pos.astype(np.int64), seq_id, strand.astype(np.int8))
+    groups = AnchorGroups(
+        k, offsets, pos.astype(np.int64), seq_id, strand.astype(np.int8)
+    )
+    if cfg.ANCHOR_DEDUPE_WINDOW > 0:
+        groups = dedupe_parallel_groups(groups, cfg.ANCHOR_DEDUPE_WINDOW)
+    return groups

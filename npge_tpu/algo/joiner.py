@@ -48,7 +48,7 @@ def _adjacency_links(bs: BlockSet, max_gap: int):
         for i in range(len(f)):
             s, st, ln, o = f.row(i)
             per_seq[s].append((st, st + ln, o, bi, i))
-    links = []
+    links = []  # (bi, fi, bj, fj, flip_i, flip_j)
     for s, items in per_seq.items():
         items.sort()
         for a in range(len(items) - 1):
@@ -58,9 +58,13 @@ def _adjacency_links(bs: BlockSet, max_gap: int):
             if gap < 0 or gap > max_gap or b1 == b2:
                 continue
             if o1 == 1:
-                links.append((b1, f1, b2, f2, o2 != 1))
+                links.append((b1, f1, b2, f2, False, o2 != 1))
             if o2 == -1:
-                links.append((b2, f2, b1, f1, o1 != -1))
+                links.append((b2, f2, b1, f1, False, o1 != -1))
+            if o1 == -1 and o2 == 1:
+                # both representations point outward: the join is
+                # b1.inverse ++ b2 (flip the FIRST block)
+                links.append((b1, f1, b2, f2, True, False))
     return links
 
 
@@ -71,11 +75,11 @@ def joinable_pairs(
     the joined block remains good. pairing: list of (frag_of_i, frag_of_j).
     Requires a perfect 1:1 pairing covering every fragment of both blocks."""
     max_gap = cfg.MAX_JOIN_GAP if cfg else 0
-    by_pair: dict[tuple[int, int, bool], list[tuple[int, int]]] = defaultdict(list)
-    for b1, f1, b2, f2, flip in _adjacency_links(bs, max_gap):
-        by_pair[(b1, b2, flip)].append((f1, f2))
+    by_pair: dict[tuple[int, int, bool, bool], list[tuple[int, int]]] = defaultdict(list)
+    for b1, f1, b2, f2, flip1, flip2 in _adjacency_links(bs, max_gap):
+        by_pair[(b1, b2, flip1, flip2)].append((f1, f2))
     out = []
-    for (b1, b2, flip), pairs in sorted(by_pair.items()):
+    for (b1, b2, flip1, flip2), pairs in sorted(by_pair.items()):
         n1 = bs.blocks[b1].n_frags
         n2 = bs.blocks[b2].n_frags
         if n1 != n2 or len(pairs) != n1:
@@ -85,11 +89,11 @@ def joinable_pairs(
         pairing = sorted(pairs)
         if cfg is not None and n1 >= 2:
             joined = _join_two(
-                bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip
+                bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip1, flip2
             )
             if not is_good_block(joined, bs.arena, cfg):
                 continue
-        out.append((b1, b2, pairing, flip))
+        out.append((b1, b2, pairing, flip1, flip2))
     return out
 
 
@@ -99,12 +103,16 @@ def _join_two(
     b2: Block,
     pairing,
     cfg: Config | None = None,
-    flip: bool = False,
+    flip1: bool = False,
+    flip2: bool = False,
 ) -> Block:
     """Join b2 after b1 in b1's column space, bridging per-pair gaps.
-    flip inverts b2 first (fragment row order is preserved by inverse)."""
+    flip1/flip2 invert the respective block first (fragment row order is
+    preserved by inverse, so pairing indices stay valid)."""
     arena = bs.arena
-    if flip:
+    if flip1:
+        b1 = b1.inverse()
+    if flip2:
         b2 = b2.inverse()
     rows1 = b1.rows(arena)
     rows2 = b2.rows(arena)
@@ -156,11 +164,13 @@ def join_blocks(bs: BlockSet, cfg: Config | None = None) -> int:
             return total
         consumed: set[int] = set()
         new_blocks: list[Block] = []
-        for b1, b2, pairing, flip in cands:
+        for b1, b2, pairing, flip1, flip2 in cands:
             if b1 in consumed or b2 in consumed:
                 continue
             new_blocks.append(
-                _join_two(bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip)
+                _join_two(
+                    bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip1, flip2
+                )
             )
             consumed.update((b1, b2))
             total += 1

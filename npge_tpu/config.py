@@ -29,6 +29,7 @@ class Config:
 
     # ---- engine knobs (no reference equivalent; TPU-native design) ----
     MINIMIZER_WINDOW: int = 8      # (w,k)-minimizer sampling window; 1 = sample every k-mer
+    ANCHOR_DEDUPE_WINDOW: int = 32  # drop parallel-translate anchor groups within this distance; 0 = off
     MAX_EXTEND: int = 4096         # max gapless extension per side per round
     EXTEND_BATCH: int = 8192       # groups per extension batch (bucketed/padded)
     SW_BAND: int = 128             # banded-SW band width (lane-aligned)

@@ -54,26 +54,9 @@ def sharded_find_anchors(
     arena: GenomeArena, cfg: Config, mesh=None, k: int | None = None
 ) -> AnchorGroups:
     """Mesh-parallel AnchorFinder with single-device-identical output."""
+    from npge_tpu.algo.anchors import form_groups
+
     k = k or cfg.ANCHOR_SIZE
     h, l, pos, strand = sharded_anchor_occurrences(arena, cfg, mesh, k)
-    # group formation identical to algo.anchors.find_anchors
-    if len(h) == 0:
-        return AnchorGroups(
-            k, np.zeros(1, np.int64), pos, np.zeros(0, np.int32), strand
-        )
-    new = np.ones(len(h), dtype=bool)
-    new[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
-    gid = np.cumsum(new) - 1
-    sizes = np.bincount(gid)
-    keep_g = (sizes >= 2) & (sizes <= cfg.MAX_ANCHOR_FRAGMENTS)
-    keep_m = keep_g[gid]
-    pos, strand = pos[keep_m], strand[keep_m]
-    kept_sizes = sizes[keep_g]
-    offsets = np.zeros(len(kept_sizes) + 1, np.int64)
-    np.cumsum(kept_sizes, out=offsets[1:])
-    seq_id = (
-        np.searchsorted(arena.offsets, pos, side="right").astype(np.int32) - 1
-    )
-    return AnchorGroups(
-        k, offsets, pos.astype(np.int64), seq_id, strand.astype(np.int8)
-    )
+    # group formation shared with algo.anchors.find_anchors (bit-identical)
+    return form_groups(h, l, pos, strand, arena, cfg, k)
