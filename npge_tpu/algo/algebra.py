@@ -75,6 +75,35 @@ def one_by_one(target: BlockSet, other: BlockSet) -> BlockSet:
     return BlockSet(target.arena, out)
 
 
+def subset_arena(bs: BlockSet, names: list[str]) -> BlockSet:
+    """New BlockSet over a sub-arena of the named sequences, keeping blocks
+    all of whose fragments lie on them (``SequencesFromOther`` parity ⚠[B]:
+    copy sequences between blocksets)."""
+    from npge_tpu.model.arena import GenomeArena
+
+    old_ids = [bs.arena.seq_id(n) for n in names]
+    remap = {o: i for i, o in enumerate(old_ids)}
+    arena = GenomeArena(
+        list(names), [bs.arena.seq_codes(i).copy() for i in old_ids]
+    )
+    out = BlockSet(arena, [])
+    for b in bs.blocks:
+        if not all(int(s) in remap for s in b.frags.seq_id):
+            continue
+        f = b.frags
+        nf = np.array([remap[int(s)] for s in f.seq_id], np.int32)
+        from npge_tpu.model.fragments import FragmentTable
+
+        out.add(
+            Block(
+                FragmentTable(nf, f.start, f.length, f.ori),
+                b.alignment,
+                b.name,
+            )
+        )
+    return out
+
+
 def stem(bs: BlockSet, exact: bool = True) -> BlockSet:
     """Keep blocks with exactly one fragment in every genome (``Stem``
     with the ``exact`` option ⚠[B]); exact=False keeps blocks covering all

@@ -66,6 +66,27 @@ def write_blockset(fh, bs: BlockSet, with_sequences: bool = True) -> None:
                 fh.write(text[j : j + 60] + "\n")
 
 
+def write_blocks_dir(bs: BlockSet, directory: str) -> int:
+    """One FASTA file per block (the reference's per-block output helpers /
+    OutputPipe ⚠[B]). Returns the number of files written."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    n = 0
+    for b in bs.blocks:
+        name = b.name or f"block{n}"
+        rows = b.rows(bs.arena)
+        with open(os.path.join(directory, f"{name}.fasta"), "w") as fh:
+            for i in range(b.n_frags):
+                fid = fragment_id(bs.arena, *b.frags.row(i))
+                fh.write(f">{fid} block={name}\n")
+                text = C.decode(rows[i])
+                for j in range(0, len(text), 60):
+                    fh.write(text[j : j + 60] + "\n")
+        n += 1
+    return n
+
+
 def read_blockset(fh_or_path, arena: GenomeArena | None = None) -> BlockSet:
     """Read a .bs file. If `arena` is None the file must contain the
     sequences section."""

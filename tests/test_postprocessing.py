@@ -108,3 +108,20 @@ def test_algebra():
     assert len(merged) == 2  # b2 fits, b3 conflicts with b1
     s = stem(BlockSet(arena, [b1, Block(FragmentTable.from_rows([(0, 6, 6, 1)]))]))
     assert len(s) == 1
+
+
+def test_subset_arena_and_blocks_dir(tmp_path):
+    from npge_tpu.algo.algebra import subset_arena
+    from npge_tpu.io.bs import write_blocks_dir
+
+    bs, _ = small_world()
+    names = bs.arena.names[:2]
+    sub = subset_arena(bs, names)
+    assert sub.arena.n_seqs == 2
+    # blocks kept only when fully inside the subset
+    for b in sub.blocks:
+        assert set(b.frags.seq_id.tolist()) <= {0, 1}
+    n = write_blocks_dir(bs, str(tmp_path / "blocks"))
+    assert n == len(bs.blocks)
+    files = list((tmp_path / "blocks").iterdir())
+    assert len(files) == n
