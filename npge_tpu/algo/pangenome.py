@@ -84,8 +84,12 @@ def build_pangenome(
     log(f"join: {n_joins} merges -> {len(bs.blocks)} blocks")
 
     # ---- consensus re-seed fixed-point loop (replaces BLAST loop) ----
+    from npge_tpu.algo.surgery import quality_metric
+
     k = cfg.ANCHOR_SIZE
     prev_hash = None
+    best_metric = quality_metric(bs)
+    snapshot = list(bs.blocks)
     for round_no in range(cfg.MAX_LOOPS):
         t0 = time.perf_counter()
         occ = occupancy(arena, bs.blocks)
@@ -115,7 +119,20 @@ def build_pangenome(
         bs = BlockSet(arena, accepted)
         join_blocks(bs, cfg)
         t.add("resolve", time.perf_counter() - t0)
-        log(f"reseed {round_no}: -> {len(bs.blocks)} blocks after resolve+join")
+        metric = quality_metric(bs)
+        log(
+            f"reseed {round_no}: -> {len(bs.blocks)} blocks after "
+            f"resolve+join, metric={metric}"
+        )
+        # TrySmth-style monotonicity: a round that fails to improve the
+        # quality metric is reverted and ends the loop (bounds churny
+        # convergence deterministically)
+        if metric <= best_metric:
+            bs = BlockSet(arena, snapshot)
+            log(f"reseed {round_no}: no improvement, reverting")
+            break
+        best_metric = metric
+        snapshot = list(bs.blocks)
 
     t0 = time.perf_counter()
     occ = occupancy(arena, bs.blocks)
