@@ -8,7 +8,7 @@ from npge_tpu.algo.is_pangenome import check_is_pangenome
 from npge_tpu.config import default_config
 from npge_tpu.model.naming import block_type
 
-arena = synthetic_arena(n_genomes=17, length=1_000_000, seed=42, sub_rate=0.01, indel_rate=0.0002, n_inversions=3)
+arena = synthetic_arena(n_genomes=17, length=1_000_000, seed=42, sub_rate=0.002, indel_rate=0.0001, n_inversions=3)
 print(f"total={arena.total_length}", flush=True)
 cfg = default_config()
 t0 = time.perf_counter()

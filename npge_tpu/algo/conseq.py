@@ -43,6 +43,74 @@ def consensus_arena(
     return GenomeArena(names, seqs), src
 
 
+def _deconseq_fast(
+    cand: list[Block], cons_src: list[tuple[int, np.ndarray]], bs: BlockSet
+) -> list[Block] | None:
+    """Vectorized DeConSeq for the common case: every candidate and every
+    source block gapless. Returns None when any source is gapped (caller
+    falls back to the general path). For a gapless source the consensus
+    column map is the identity, so cons coords ARE alignment columns."""
+    blocks = bs.blocks
+    srcs = [bi for bi, _ in cons_src]
+    if any(blocks[bi].alignment is not None for bi in srcs):
+        return None
+    if any(not cb.is_gapless for cb in cand):
+        return None
+    if not cand:
+        return []
+    # source fragment tables, CSR over cons seq index
+    nsrc = len(srcs)
+    s_off = np.zeros(nsrc + 1, np.int64)
+    np.cumsum([blocks[bi].n_frags for bi in srcs], out=s_off[1:])
+    s_seq = np.concatenate([blocks[bi].frags.seq_id for bi in srcs])
+    s_start = np.concatenate([blocks[bi].frags.start for bi in srcs])
+    s_len = np.concatenate([blocks[bi].frags.length for bi in srcs])
+    s_ori = np.concatenate([blocks[bi].frags.ori for bi in srcs])
+    # flatten candidate fragments
+    c_off = np.zeros(len(cand) + 1, np.int64)
+    np.cumsum([cb.n_frags for cb in cand], out=c_off[1:])
+    ci = np.concatenate([cb.frags.seq_id for cb in cand]).astype(np.int64)
+    st = np.concatenate([cb.frags.start for cb in cand]).astype(np.int64)
+    ln = np.concatenate([cb.frags.length for cb in cand]).astype(np.int64)
+    o = np.concatenate([cb.frags.ori for cb in cand]).astype(np.int64)
+    cid = np.repeat(np.arange(len(cand)), np.diff(c_off))
+    # expand each candidate-fragment into its source block's fragments
+    counts = (s_off[ci + 1] - s_off[ci]).astype(np.int64)
+    rep = np.repeat(np.arange(len(ci)), counts)
+    # index of the source fragment within the source block
+    inner = np.arange(len(rep)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    sfi = s_off[ci[rep]] + inner
+    c0 = st[rep]
+    c1 = st[rep] + ln[rep]
+    fo = s_ori[sfi].astype(np.int64)
+    out_seq = s_seq[sfi]
+    out_start = np.where(
+        fo == 1, s_start[sfi] + c0, s_start[sfi] + s_len[sfi] - c1
+    )
+    out_len = c1 - c0
+    out_ori = (fo * np.where(o[rep] == -1, -1, 1)).astype(np.int32)
+    out_cid = cid[rep]
+    # assemble per-candidate blocks (>= 2 fragments)
+    out: list[Block] = []
+    bounds = np.flatnonzero(np.diff(out_cid, prepend=-1, append=-2))
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        if b1 - b0 < 2:
+            continue
+        out.append(
+            Block(
+                FragmentTable(
+                    out_seq[b0:b1],
+                    out_start[b0:b1].astype(np.int32),
+                    out_len[b0:b1].astype(np.int32),
+                    out_ori[b0:b1],
+                )
+            )
+        )
+    return out
+
+
 def deconseq(
     cand: list[Block], cons_src: list[tuple[int, np.ndarray]], bs: BlockSet
 ) -> list[Block]:
@@ -51,6 +119,15 @@ def deconseq(
     fragments of source block i sliced to the enclosing alignment columns
     (orientation flips applied via Block.inverse). Pieces of one candidate
     concatenate column-wise into a single genome-space block."""
+    fast = _deconseq_fast(cand, cons_src, bs)
+    if fast is not None:
+        return fast
+    return _deconseq_general(cand, cons_src, bs)
+
+
+def _deconseq_general(
+    cand: list[Block], cons_src: list[tuple[int, np.ndarray]], bs: BlockSet
+) -> list[Block]:
     out: list[Block] = []
     for cb in cand:
         pieces: list[Block] = []

@@ -79,6 +79,10 @@ class Block:
         kept column has no real base. Deterministic. The map lets DeConSeq
         translate consensus coordinates back to alignment columns.
         """
+        if self.n_frags == 1 and self.alignment is None:
+            # fast path: a unique gapless block IS its own consensus
+            s, st, ln, o = self.frags.row(0)
+            return arena.fragment_codes(s, st, ln, o), np.arange(ln)
         rows = self.rows(arena)
         f = rows.shape[0]
         counts = np.stack(

@@ -61,3 +61,37 @@ def test_reseed_improves_stem_coverage():
     assert rep.ok, rep.messages
     shared = sum(b.n_frags * b.n_cols for b in bs.blocks if b.n_frags >= 2)
     assert shared / arena.total_length > 0.95
+
+
+def test_deconseq_fast_path_parity():
+    from npge_tpu.algo.conseq import _deconseq_fast, _deconseq_general
+    from npge_tpu.model.hashing import block_hash
+
+    arena = GenomeArena.from_strings(
+        {
+            "A&c&l": "ACGTACGTACGTTTTT",
+            "B&c&l": "ACGTACGTACGTGGGG",
+            "C&c&l": "AAAACGTACGTACGT",
+        }
+    )
+    bs = BlockSet(
+        arena,
+        [
+            Block(FragmentTable.from_rows([(0, 0, 12, 1), (1, 0, 12, 1)])),
+            Block(FragmentTable.from_rows([(2, 3, 12, 1)])),
+            Block(FragmentTable.from_rows([(0, 12, 4, 1), (1, 12, 4, -1)])),
+        ],
+    )
+    cons, src = consensus_arena(bs)
+    # candidates on the consensus arena, incl. reverse orientation
+    cand = [
+        Block(FragmentTable.from_rows([(0, 2, 8, 1), (1, 2, 8, 1)])),
+        Block(FragmentTable.from_rows([(0, 0, 6, -1), (1, 4, 6, 1)])),
+        Block(FragmentTable.from_rows([(2, 0, 4, 1), (0, 8, 4, -1)])),
+    ]
+    fast = _deconseq_fast(cand, src, bs)
+    slow = _deconseq_general(cand, src, bs)
+    assert fast is not None and len(fast) == len(slow) > 0
+    ha = sorted(block_hash(b, arena) for b in fast)
+    hb = sorted(block_hash(b, arena) for b in slow)
+    assert ha == hb
