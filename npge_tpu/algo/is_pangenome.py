@@ -59,7 +59,9 @@ def check_is_pangenome(bs: BlockSet, cfg: Config) -> PangenomeReport:
         rep.messages.append(f"{len(rep.bad_blocks)} bad blocks")
 
     # 3. no joinable neighbors (incl. bounded-gap joins that would stay good)
-    rep.joinable = len(joinable_pairs(bs, cfg))
+    from npge_tpu.algo.joiner import _StatCache
+
+    rep.joinable = len(joinable_pairs(bs, cfg, _StatCache(bs, cfg.MIN_END)))
     if rep.joinable:
         rep.ok = False
         rep.messages.append(f"{rep.joinable} joinable block pairs")

@@ -68,8 +68,107 @@ def _adjacency_links(bs: BlockSet, max_gap: int):
     return links
 
 
+class _StatCache:
+    """Per-block good-column stats for incremental join goodness checks:
+    (good_count, total, head_good[:m], tail_good[-m:]) with good = identical
+    AND gapless columns (exactly model.stats.column_classes semantics).
+    Blocks are immutable, so caching by object id is safe within a pass."""
+
+    def __init__(self, bs: BlockSet, m: int):
+        self.bs = bs
+        self.m = m
+        self.d: dict[int, tuple] = {}
+
+    def get(self, block: Block):
+        key = id(block)
+        hit = self.d.get(key)
+        if hit is not None:
+            return hit
+        from npge_tpu.model.stats import column_classes
+
+        rows = block.rows(self.bs.arena)
+        ident, gapless = column_classes(rows)
+        good = ident & gapless
+        m = min(self.m, len(good))
+        val = (
+            int(good.sum()),
+            int(len(good)),
+            good[:m].copy(),
+            good[len(good) - m :].copy(),
+        )
+        self.d[key] = val
+        return val
+
+    def put_joined(self, joined: Block, b1: Block, b2: Block,
+                   flip1: bool, flip2: bool, mid_good: int, mid_w: int):
+        g1, t1, h1, ta1 = self.get(b1)
+        g2, t2, h2, ta2 = self.get(b2)
+        if flip1:
+            h1, ta1 = ta1[::-1], h1[::-1]
+        if flip2:
+            h2, ta2 = ta2[::-1], h2[::-1]
+        self.d[id(joined)] = (g1 + g2 + mid_good, t1 + t2 + mid_w, h1, ta2)
+
+
+def _gap_segments(bs: BlockSet, b1: Block, b2: Block, pairing, flip1, flip2):
+    """Per-pair gap texts in the joined column orientation."""
+    arena = bs.arena
+    o1s = -b1.frags.ori if flip1 else b1.frags.ori
+    gaps = []
+    for f1, f2 in pairing:
+        s, st1, ln1, _ = b1.frags.row(f1)
+        _, st2, ln2, _ = b2.frags.row(f2)
+        o = int(o1s[f1])
+        if o == 1:
+            glo, ghi = st1 + ln1, st2
+            seg = arena.seq_codes(s)[glo:ghi]
+        else:
+            glo, ghi = st2 + ln2, st1
+            seg = C.revcomp(arena.seq_codes(s)[glo:ghi])
+        gaps.append(np.asarray(seg, np.uint8))
+    return gaps
+
+
+def _join_good_incremental(
+    bs: BlockSet, b1: Block, b2: Block, pairing, flip1, flip2,
+    cfg: Config, cache: _StatCache,
+) -> tuple[bool, int, int]:
+    """Good-block predicate of the joined block WITHOUT materializing it.
+    Returns (good, mid_good_count, mid_width). Exactly equivalent to
+    is_good_block(_join_two(...)) for blocks of length >= m on both sides."""
+    from npge_tpu.model.stats import column_classes
+
+    g1, t1, h1, ta1 = cache.get(b1)
+    g2, t2, h2, ta2 = cache.get(b2)
+    if flip1:
+        h1, ta1 = ta1[::-1], h1[::-1]
+    if flip2:
+        h2, ta2 = ta2[::-1], h2[::-1]
+    gaps = _gap_segments(bs, b1, b2, pairing, flip1, flip2)
+    if all(len(g) == 0 for g in gaps):
+        mid_good, mid_w = 0, 0
+    else:
+        sw = dict(match=cfg.SW_MATCH, mismatch=cfg.SW_MISMATCH, gap=cfg.SW_GAP)
+        mid = msa_short(gaps, **sw)
+        ident, gapless = column_classes(mid)
+        mid_good, mid_w = int((ident & gapless).sum()), mid.shape[1]
+    total = t1 + t2 + mid_w
+    goodn = g1 + g2 + mid_good
+    m = min(cfg.MIN_END, total)
+    if t1 >= m and t2 >= m:
+        ends_ok = bool(h1[:m].all() and ta2[len(ta2) - m :].all())
+    else:
+        return (None, mid_good, mid_w)  # caller falls back to full build
+    ok = (
+        total >= cfg.MIN_LENGTH
+        and ends_ok
+        and cfg.MIN_IDENTITY.le_ratio(goodn, total)
+    )
+    return (ok, mid_good, mid_w)
+
+
 def joinable_pairs(
-    bs: BlockSet, cfg: Config | None = None
+    bs: BlockSet, cfg: Config | None = None, cache: _StatCache | None = None
 ) -> list[tuple[int, int, list[tuple[int, int]]]]:
     """All (block_i, block_j, pairing) where j can be appended after i and
     the joined block remains good. pairing: list of (frag_of_i, frag_of_j).
@@ -88,10 +187,20 @@ def joinable_pairs(
             continue
         pairing = sorted(pairs)
         if cfg is not None and n1 >= 2:
-            joined = _join_two(
-                bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip1, flip2
-            )
-            if not is_good_block(joined, bs.arena, cfg):
+            if cache is not None:
+                ok, _, _ = _join_good_incremental(
+                    bs, bs.blocks[b1], bs.blocks[b2], pairing,
+                    flip1, flip2, cfg, cache,
+                )
+            else:
+                ok = None
+            if ok is None:  # short block or no cache: full construction
+                joined = _join_two(
+                    bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg,
+                    flip1, flip2,
+                )
+                ok = is_good_block(joined, bs.arena, cfg)
+            if not ok:
                 continue
         out.append((b1, b2, pairing, flip1, flip2))
     return out
@@ -114,8 +223,6 @@ def _join_two(
         b1 = b1.inverse()
     if flip2:
         b2 = b2.inverse()
-    rows1 = b1.rows(arena)
-    rows2 = b2.rows(arena)
     gaps: list[np.ndarray] = []
     frows = []
     for f1, f2 in pairing:
@@ -131,7 +238,14 @@ def _join_two(
         frows.append(
             (s, min(st1, st2), ln1 + (ghi - glo) + ln2, o)
         )
-    if all(len(g) == 0 for g in gaps):
+    no_gaps = all(len(g) == 0 for g in gaps)
+    if no_gaps and b1.is_gapless and b2.is_gapless:
+        # gapless fast path: the joined block is gapless; its rows are
+        # implicit — no alignment materialization needed
+        return Block(FragmentTable.from_rows(frows), None)
+    rows1 = b1.rows(arena)
+    rows2 = b2.rows(arena)
+    if no_gaps:
         aln = np.concatenate(
             [rows1[[p[0] for p in pairing]], rows2[[p[1] for p in pairing]]],
             axis=1,
@@ -158,8 +272,9 @@ def join_blocks(bs: BlockSet, cfg: Config | None = None) -> int:
     order; chains (A+B then (AB)+C) are handled by iterating to fixpoint.
     """
     total = 0
+    cache = _StatCache(bs, cfg.MIN_END) if cfg is not None else None
     while True:
-        cands = joinable_pairs(bs, cfg)
+        cands = joinable_pairs(bs, cfg, cache)
         if not cands:
             return total
         consumed: set[int] = set()

@@ -27,18 +27,18 @@ def nw_align(a: np.ndarray, b: np.ndarray, match=1, mismatch=-2, gap=-3):
     H = np.zeros((n + 1, m + 1), np.int64)
     H[:, 0] = np.arange(n + 1) * gap
     H[0, :] = np.arange(m + 1) * gap
+    jj = np.arange(1, m + 1, dtype=np.int64)
     for i in range(1, n + 1):
         sub = np.where(a[i - 1] == b, match, mismatch)
         row_prev = H[i - 1]
-        row = H[i]
-        # vectorized left-to-right is inherently sequential in j for the
-        # 'left' move; n,m are small (<= ~200) so a python loop is fine
-        for j in range(1, m + 1):
-            row[j] = max(
-                row_prev[j - 1] + sub[j - 1],
-                row_prev[j] + gap,
-                row[j - 1] + gap,
-            )
+        # A[j] = best of diag/up moves; the left-gap recurrence
+        # H[i,j] = max(A[j], H[i,j-1]+gap) unrolls to a prefix max:
+        # H[i,j] = j*gap + max_{k<=j} (A'[k] - k*gap), A'[0] = H[i,0]
+        A = np.maximum(row_prev[:-1] + sub, row_prev[1:] + gap)
+        B = np.empty(m + 1, np.int64)
+        B[0] = H[i, 0]
+        B[1:] = A - jj * gap
+        H[i, 1:] = jj * gap + np.maximum.accumulate(B)[1:]
     # traceback (diag > up > left)
     ra, rb = [], []
     i, j = n, m
