@@ -97,7 +97,7 @@ def extend_anchor_groups(
     results_r = np.zeros(groups.n_groups, np.int32)
 
     num, den = cfg.MIN_IDENTITY.num, cfg.MIN_IDENTITY.den
-    chunk = min(512, cfg.MAX_EXTEND)
+    chunk = min(cfg.EXTEND_CHUNK, cfg.MAX_EXTEND)
     max_rounds = max(1, -(-cfg.MAX_EXTEND // chunk))
 
     for fb in sorted({_bucket_f(int(s)) for s in sizes}):

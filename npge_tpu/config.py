@@ -31,7 +31,7 @@ class Config:
     MINIMIZER_WINDOW: int = 8      # (w,k)-minimizer sampling window; 1 = sample every k-mer
     ANCHOR_DEDUPE_WINDOW: int = 32  # drop parallel-translate anchor groups within this distance; 0 = off
     MAX_EXTEND: int = 4096         # max gapless extension per side per round
-    EXTEND_BATCH: int = 8192       # groups per extension batch (bucketed/padded)
+    EXTEND_CHUNK: int = 512        # extension columns per device call
     SW_BAND: int = 128             # banded-SW band width (lane-aligned)
     SW_XDROP: int = 64             # x-drop termination threshold
     SW_MATCH: int = 1
