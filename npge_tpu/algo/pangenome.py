@@ -48,9 +48,14 @@ class StageTimings:
 
 
 def build_pangenome(
-    arena: GenomeArena, cfg: Config, verbose: bool = False
+    arena: GenomeArena, cfg: Config, verbose: bool = False, mesh=None
 ) -> tuple[BlockSet, StageTimings]:
-    """Single-chip pangenome construction (BASELINE configs 1-3)."""
+    """Pangenome construction (BASELINE configs 1-4).
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh), the position scan runs sharded
+    across devices and extension inputs ride a replicated arena — the result
+    is bit-identical to the single-device run (tested on the virtual CPU
+    mesh), per the distributed-correctness bar (SURVEY §4)."""
     t = StageTimings()
 
     def log(msg: str) -> None:
@@ -58,12 +63,22 @@ def build_pangenome(
             print(msg, flush=True)
 
     t0 = time.perf_counter()
-    codes_dev = jnp.asarray(arena.codes)
+    if mesh is not None:
+        from npge_tpu.parallel.mesh import replicate
+
+        codes_dev = replicate(mesh, arena.codes)
+    else:
+        codes_dev = jnp.asarray(arena.codes)
     sid_dev = jnp.asarray(arena.seq_id_of_pos())
     t.add("upload", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    groups = find_anchors(arena, cfg, codes_dev, sid_dev)
+    if mesh is not None:
+        from npge_tpu.parallel.sharded import sharded_find_anchors
+
+        groups = sharded_find_anchors(arena, cfg, mesh)
+    else:
+        groups = find_anchors(arena, cfg, codes_dev, sid_dev)
     t.add("anchors", time.perf_counter() - t0)
     log(f"anchors: {groups.n_groups} groups, {len(groups.pos)} occurrences")
 

@@ -37,3 +37,19 @@ def test_graft_entry_single_and_multichip():
     out = fn(*args)
     assert int(np.asarray(out[0])) > 0  # some positions selected
     ge.dryrun_multichip(8)
+
+
+def test_full_pipeline_mesh_equals_single_device():
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.model.hashing import blockset_hash
+
+    arena = synthetic_arena(
+        n_genomes=3, length=5000, seed=13, sub_rate=0.01, indel_rate=0.0005
+    )
+    cfg = default_config().replace(
+        ANCHOR_SIZE=17, MINIMIZER_WINDOW=8, MIN_LENGTH=60, MIN_END=3,
+        MAX_LOOPS=3,
+    )
+    single, _ = build_pangenome(arena, cfg)
+    meshed, _ = build_pangenome(arena, cfg, mesh=make_mesh(8))
+    assert blockset_hash(meshed) == blockset_hash(single)
