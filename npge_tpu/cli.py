@@ -110,7 +110,14 @@ def cmd_make_pangenome(args) -> None:
     src = load_stage(args.workdir, "input")
     if src is None:
         raise SystemExit(f"no input.bs under {args.workdir}; run prepare first")
-    bs, timings = build_pangenome(src.arena, cfg, verbose=args.verbose)
+    mesh = None
+    if args.devices:
+        from npge_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
+    bs, timings = build_pangenome(
+        src.arena, cfg, verbose=args.verbose, mesh=mesh
+    )
     rep = check_is_pangenome(bs, cfg)
     path = save_stage(
         args.workdir, "pangenome", bs,
@@ -238,6 +245,8 @@ def main(argv=None) -> None:
             sp.add_argument("--verbose", action="store_true")
             sp.add_argument("--timing", action="store_true",
                             help="print per-stage wall times (reference --timing)")
+            sp.add_argument("--devices", type=int, default=0,
+                            help="shard the scan over an N-device mesh")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("run", help="run a named processor/pipe or script")
