@@ -31,10 +31,13 @@ class PangenomeReport:
     overcovered_positions: int = 0
     bad_blocks: list[str] = field(default_factory=list)
     joinable: int = 0
+    new_hits: int = 0
     messages: list[str] = field(default_factory=list)
 
 
-def check_is_pangenome(bs: BlockSet, cfg: Config) -> PangenomeReport:
+def check_is_pangenome(
+    bs: BlockSet, cfg: Config, deep: bool = False
+) -> PangenomeReport:
     rep = PangenomeReport(ok=True)
 
     # 1. partition invariant
@@ -65,5 +68,38 @@ def check_is_pangenome(bs: BlockSet, cfg: Config) -> PangenomeReport:
     if rep.joinable:
         rep.ok = False
         rep.messages.append(f"{rep.joinable} joinable block pairs")
+
+    # 4. (deep) re-seeding on block consensuses yields no admissible good
+    # hit — the k-mer analog of the reference's all-vs-all BLAST emptiness
+    # check [B]. A "new hit" is a mapped candidate that would be admitted
+    # against the current partition and raise the quality metric.
+    if deep:
+        from npge_tpu.algo.anchors import find_anchors
+        from npge_tpu.algo.conseq import consensus_arena, deconseq
+        from npge_tpu.algo.extender import extend_anchor_groups
+        from npge_tpu.algo.overlaps import resolve_overlaps
+        from npge_tpu.algo.surgery import quality_metric
+
+        full = BlockSet(bs.arena, list(bs.blocks))
+        full.canonicalize()
+        cons, src = consensus_arena(full)
+        k = max(cfg.MIN_ANCHOR_SIZE, cfg.ANCHOR_SIZE - cfg.RESEED_SHRINK)
+        groups = find_anchors(cons, cfg, k=k)
+        cand = extend_anchor_groups(cons, groups, cfg)
+        mapped = deconseq(cand, src, full)
+        if mapped:
+            base = quality_metric(full)
+            trial = resolve_overlaps(
+                [b for b in full.blocks if b.n_frags >= 2] + mapped,
+                bs.arena,
+                cfg,
+            )
+            trial_bs = BlockSet(bs.arena, trial)
+            if quality_metric(trial_bs) > base:
+                rep.new_hits = len(mapped)
+                rep.ok = False
+                rep.messages.append(
+                    f"re-seeding finds improving hits ({len(mapped)} candidates)"
+                )
 
     return rep

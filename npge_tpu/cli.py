@@ -168,7 +168,9 @@ def cmd_check(args) -> None:
     from npge_tpu.algo.is_pangenome import check_is_pangenome
 
     cfg = _load_cfg(args)
-    rep = check_is_pangenome(_load_input(args.workdir), cfg)
+    rep = check_is_pangenome(
+        _load_input(args.workdir), cfg, deep=getattr(args, "deep", False)
+    )
     print("OK" if rep.ok else "FAIL")
     for m in rep.messages:
         print(" -", m)
@@ -247,6 +249,9 @@ def main(argv=None) -> None:
                             help="print per-stage wall times (reference --timing)")
             sp.add_argument("--devices", type=int, default=0,
                             help="shard the scan over an N-device mesh")
+        if name == "check":
+            sp.add_argument("--deep", action="store_true",
+                            help="also verify re-seeding finds no new hits")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("run", help="run a named processor/pipe or script")

@@ -123,3 +123,18 @@ def test_is_pangenome_report():
     )
     rep3 = check_is_pangenome(bs3, cfg)
     assert not rep3.ok and rep3.joinable == 1
+
+
+def test_deep_check_reseed_emptiness():
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.config import default_config
+    from npge_tpu.util.synthetic import synthetic_arena
+
+    arena = synthetic_arena(n_genomes=3, length=5000, seed=19, indel_rate=0.0)
+    cfg = default_config().replace(
+        ANCHOR_SIZE=17, MINIMIZER_WINDOW=8, MIN_LENGTH=60, MIN_END=3,
+        MAX_LOOPS=4,
+    )
+    bs, _ = build_pangenome(arena, cfg)
+    rep = check_is_pangenome(bs, cfg, deep=True)
+    assert rep.ok, rep.messages
