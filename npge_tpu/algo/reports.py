@@ -56,6 +56,29 @@ def blockset_summary(bs: BlockSet, cfg: Config | None = None) -> dict:
     }
 
 
+def per_genome_table(bs: BlockSet) -> str:
+    """Per-genome coverage table (Stats parity): length, positions in
+    shared (multi-fragment) blocks, fraction."""
+    arena = bs.arena
+    genomes = arena.genomes()
+    gmap = arena.genome_id_of_seq()
+    length = np.zeros(len(genomes), np.int64)
+    for s in range(arena.n_seqs):
+        length[gmap[s]] += arena.seq_len(s)
+    shared = np.zeros(len(genomes), np.int64)
+    for b in bs.blocks:
+        if b.n_frags < 2:
+            continue
+        for fi in range(b.n_frags):
+            s, _, ln, _ = b.frags.row(fi)
+            shared[gmap[s]] += ln
+    rows = ["genome\tlength\tshared_positions\tshared_fraction"]
+    for i, g in enumerate(genomes):
+        frac = shared[i] / length[i] if length[i] else 0.0
+        rows.append(f"{g}\t{length[i]}\t{shared[i]}\t{frac:.4f}")
+    return "\n".join(rows) + "\n"
+
+
 def info_text(bs: BlockSet, cfg: Config | None = None) -> str:
     s = blockset_summary(bs, cfg)
     lines = [

@@ -134,7 +134,7 @@ def cmd_make_pangenome(args) -> None:
 def cmd_post_processing(args) -> None:
     from npge_tpu.algo.bsa import exact_stem_bsa
     from npge_tpu.algo.mutations import mutations_tsv
-    from npge_tpu.algo.reports import block_info_tsv, info_text
+    from npge_tpu.algo.reports import block_info_tsv, info_text, per_genome_table
     from npge_tpu.algo.trees import consensus_tree, distances_tsv
 
     bs = _load_input(args.workdir)
@@ -152,6 +152,8 @@ def cmd_post_processing(args) -> None:
         fh.write(tree.newick(with_support=True) + "\n")
     with open(os.path.join(out, "info.txt"), "w") as fh:
         fh.write(info_text(bs) + "\n")
+    with open(os.path.join(out, "genomes_stats.tsv"), "w") as fh:
+        fh.write(per_genome_table(bs))
     print(
         f"post-processing written to {out}: blocks.tsv mutations.tsv "
         f"distances.tsv bsa.tsv consensus_tree.nwk (over {n_used} stem trees) info.txt"

@@ -21,6 +21,76 @@ def stage_path(workdir: str, stage: str) -> str:
     return os.path.join(workdir, f"{stage}.bs")
 
 
+def save_npz(path: str, bs: BlockSet) -> None:
+    """Binary array checkpoint (SURVEY §5.4: blockset = set of arrays ->
+    npz between stages; much faster than .bs text at scale)."""
+    import numpy as np
+
+    arena = bs.arena
+    off = np.zeros(len(bs.blocks) + 1, np.int64)
+    np.cumsum([b.n_frags for b in bs.blocks], out=off[1:])
+    f_seq = np.concatenate([b.frags.seq_id for b in bs.blocks]) if bs.blocks else np.zeros(0, np.int32)
+    f_start = np.concatenate([b.frags.start for b in bs.blocks]) if bs.blocks else np.zeros(0, np.int32)
+    f_len = np.concatenate([b.frags.length for b in bs.blocks]) if bs.blocks else np.zeros(0, np.int32)
+    f_ori = np.concatenate([b.frags.ori for b in bs.blocks]) if bs.blocks else np.zeros(0, np.int32)
+    # ragged alignments: concatenated row-major with (block, width) index
+    aln_idx = np.full((len(bs.blocks), 1), -1, np.int64)
+    aln_chunks = []
+    widths = np.zeros(len(bs.blocks), np.int64)
+    pos = 0
+    for i, b in enumerate(bs.blocks):
+        if b.alignment is not None:
+            aln_idx[i, 0] = pos
+            widths[i] = b.alignment.shape[1]
+            aln_chunks.append(b.alignment.reshape(-1))
+            pos += b.alignment.size
+    names = np.array([b.name or "" for b in bs.blocks])
+    np.savez_compressed(
+        path,
+        seq_names=np.array(arena.names),
+        codes=arena.codes,
+        offsets=arena.offsets,
+        block_offsets=off,
+        f_seq=f_seq, f_start=f_start, f_len=f_len, f_ori=f_ori,
+        aln_start=aln_idx[:, 0], aln_width=widths,
+        aln_data=(np.concatenate(aln_chunks) if aln_chunks else np.zeros(0, np.uint8)),
+        block_names=names,
+    )
+
+
+def load_npz(path: str) -> BlockSet:
+    import numpy as np
+
+    from npge_tpu.model.arena import GenomeArena
+    from npge_tpu.model.blocks import Block
+    from npge_tpu.model.fragments import FragmentTable
+
+    z = np.load(path, allow_pickle=False)
+    offsets = z["offsets"]
+    arena = GenomeArena(
+        [str(n) for n in z["seq_names"]],
+        [
+            z["codes"][offsets[i] : offsets[i + 1]]
+            for i in range(len(offsets) - 1)
+        ],
+    )
+    bs = BlockSet(arena)
+    boff = z["block_offsets"]
+    for i in range(len(boff) - 1):
+        a, b = int(boff[i]), int(boff[i + 1])
+        frags = FragmentTable(
+            z["f_seq"][a:b], z["f_start"][a:b], z["f_len"][a:b], z["f_ori"][a:b]
+        )
+        aln = None
+        if int(z["aln_start"][i]) >= 0:
+            w = int(z["aln_width"][i])
+            s0 = int(z["aln_start"][i])
+            aln = z["aln_data"][s0 : s0 + (b - a) * w].reshape(b - a, w)
+        name = str(z["block_names"][i]) or None
+        bs.add(Block(frags, aln, name))
+    return bs
+
+
 def save_stage(workdir: str, stage: str, bs: BlockSet, **extra) -> str:
     os.makedirs(workdir, exist_ok=True)
     path = stage_path(workdir, stage)

