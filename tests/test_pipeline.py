@@ -61,3 +61,36 @@ def test_all_blocks_good():
     bs, _ = build_pangenome(arena, cfg)
     for b in bs.blocks:
         assert is_good_block(b, bs.arena, cfg)
+
+
+def test_multi_chromosome_genomes():
+    """Two genomes x two chromosomes: blocks must never mix chromosomes of
+    one genome into a 'stem' classification wrongly, and the partition holds
+    per sequence."""
+    import numpy as np
+    from npge_tpu.model.arena import GenomeArena
+    from npge_tpu.util.synthetic import mutate, random_ancestor
+
+    rng = np.random.default_rng(71)
+    chr1 = random_ancestor(rng, 4000)
+    chr2 = random_ancestor(rng, 3000)
+    arena = GenomeArena(
+        ["GA&chr1&c", "GA&chr2&c", "GB&chr1&c", "GB&chr2&c"],
+        [
+            mutate(rng, chr1, sub_rate=0.01, indel_rate=0.0),
+            mutate(rng, chr2, sub_rate=0.01, indel_rate=0.0),
+            mutate(rng, chr1, sub_rate=0.01, indel_rate=0.0),
+            mutate(rng, chr2, sub_rate=0.01, indel_rate=0.0),
+        ],
+    )
+    cfg = small_cfg()
+    bs, _ = build_pangenome(arena, cfg)
+    rep = check_is_pangenome(bs, cfg)
+    assert rep.ok, rep.messages
+    assert arena.genomes() == ["GA", "GB"]
+    # stem blocks pair chr1-with-chr1 and chr2-with-chr2 (one frag per genome)
+    stems = [b for b in bs.blocks if (b.name or "").startswith("s")]
+    assert stems
+    for b in stems:
+        chrs = {bs.arena.parsed[int(s)].chromosome for s in b.frags.seq_id}
+        assert len(chrs) == 1, "a stem block must stay on one chromosome"
