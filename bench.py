@@ -131,7 +131,7 @@ def bench_sw(rng):
 def bench_extension(rng):
     import jax.numpy as jnp
 
-    from npge_tpu.ops.extend import extend_chunk
+    from npge_tpu.ops.extend import bases_for_groups, extend_chunk, make_codes2
 
     T_half = 2_000_000
     half = rng.integers(0, 4, T_half).astype(np.uint8)
@@ -149,16 +149,16 @@ def bench_extension(rng):
     import jax
     from functools import partial
 
-    codes_d = jnp.asarray(codes)
-    args = [codes_d] + [jnp.asarray(x) for x in (lo, hi, ori, fmask, cap)]
+    codes2 = make_codes2(jnp.asarray(codes))
+    _, base_r = bases_for_groups(lo, hi, ori, len(codes))
+    args = [codes2, jnp.asarray(base_r), jnp.asarray(fmask), jnp.asarray(cap)]
 
     @partial(jax.jit, static_argnames=("n",))
-    def loop(codes_d, lo, hi, ori, fmask, cap, n):
+    def loop(codes2, base, fmask, cap, n):
         def body(i, acc):
             zeros = jnp.zeros(B, jnp.int32)
             ext, _, _ = extend_chunk(
-                codes_d, lo + i, hi + i, ori, fmask, cap, zeros, zeros,
-                9, 10, CHUNK, True,
+                codes2, base + i, fmask, cap, zeros, zeros, 9, 10, CHUNK
             )
             return acc + ext.sum()
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))

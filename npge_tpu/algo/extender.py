@@ -20,7 +20,7 @@ from npge_tpu.model.arena import GenomeArena
 from npge_tpu.model.blocks import Block
 from npge_tpu.model.fragments import FragmentTable
 from npge_tpu.algo.anchors import AnchorGroups
-from npge_tpu.ops.extend import extend_groups
+from npge_tpu.ops.extend import extend_groups, make_codes2
 
 # target element budget per (B, F, S) gather to bound device memory
 _ELEM_BUDGET = 1 << 26
@@ -89,6 +89,8 @@ def extend_anchor_groups(
         return []
     if codes_dev is None:
         codes_dev = jnp.asarray(arena.codes)
+    T = arena.total_length
+    codes2 = make_codes2(codes_dev)
     k = groups.k
     cap_l, cap_r, bad_group = _compute_caps(groups, arena)
     sizes = groups.sizes()
@@ -129,10 +131,10 @@ def extend_anchor_groups(
                 cl[bi, :n] = np.minimum(cap_l[a:b], cfg.MAX_EXTEND)
                 cr[bi, :n] = np.minimum(cap_r[a:b], cfg.MAX_EXTEND)
             el, er = extend_groups(
-                codes_dev,
-                jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(ori),
-                jnp.asarray(fmask), jnp.asarray(cl), jnp.asarray(cr),
+                None,
+                lo, hi, ori, fmask, cl, cr,
                 num, den, chunk=chunk, max_rounds=max_rounds,
+                codes2=codes2, T=T,
             )
             results_l[batch] = np.asarray(el)[:B]
             results_r[batch] = np.asarray(er)[:B]
