@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, time
 os.environ["XLA_FLAGS"]="--xla_force_host_platform_device_count=8"
 import jax; jax.config.update("jax_platforms","cpu")
