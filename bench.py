@@ -167,11 +167,32 @@ def bench_extension(rng):
 
 
 def main():
+    import signal
+
+    def _watchdog(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "sw_dp_cells_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "cells/s",
+                    "vs_baseline": 0,
+                    "error": "device timeout (TPU tunnel unresponsive)",
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(3)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(540)
+
     import jax
 
     rng = np.random.default_rng(0)
     sw_tpu, sw_cpu, sw_agree = bench_sw(rng)
     ext_tpu = bench_extension(rng)
+    signal.alarm(0)
     print(
         json.dumps(
             {
