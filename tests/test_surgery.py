@@ -116,3 +116,28 @@ def test_merge_unique_and_trysmth():
 
     kept = try_smth(bs2, clobber, cfg)
     assert not kept and quality_metric(bs2) == before
+
+
+def test_best_good_slice_matches_bruteforce():
+    from npge_tpu.algo.filter import best_good_slice
+
+    rng = np.random.default_rng(123)
+    cfg = default_config().replace(MIN_LENGTH=6, MIN_END=2, MIN_IDENTITY="0.75")
+    num, den = 3, 4
+    for trial in range(200):
+        n = int(rng.integers(1, 40))
+        good = rng.random(n) < 0.7
+        got = best_good_slice(good, cfg)
+        best = None
+        m = max(1, min(cfg.MIN_END, n))
+        minlen = max(cfg.MIN_LENGTH, m)
+        for l in range(n):
+            for r in range(l + minlen - 1, n):
+                w = good[l : r + 1]
+                if not (w[:m].all() and w[-m:].all()):
+                    continue
+                if int(w.sum()) * den < num * len(w):
+                    continue
+                if best is None or len(w) > (best[1] - best[0]):
+                    best = (l, r + 1)
+        assert got == best, f"trial {trial}: got {got} want {best} good={good.astype(int)}"
