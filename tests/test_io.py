@@ -62,3 +62,35 @@ def test_npz_checkpoint_roundtrip(tmp_path):
     bs2 = load_npz(str(p))
     assert blockset_hash(bs2) == blockset_hash(bs)
     assert bs2.blocks[1].name == "u1x2"
+
+
+def test_bs_roundtrip_at_scale():
+    """Round-trip a realistic multi-thousand-block set through .bs and npz."""
+    import io as iomod
+
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.config import default_config
+    from npge_tpu.io.checkpoint import load_npz, save_npz
+    from npge_tpu.util.synthetic import synthetic_arena
+
+    arena = synthetic_arena(
+        n_genomes=4, length=30000, seed=202, sub_rate=0.015,
+        indel_rate=0.001, n_inversions=3,
+    )
+    cfg = default_config().replace(
+        ANCHOR_SIZE=17, MINIMIZER_WINDOW=8, MIN_LENGTH=60, MIN_END=3,
+        MAX_LOOPS=3,
+    )
+    bs, _ = build_pangenome(arena, cfg)
+    assert len(bs.blocks) >= 3
+    buf = iomod.StringIO()
+    write_blockset(buf, bs)
+    bs2 = read_blockset(iomod.BytesIO(buf.getvalue().encode()))
+    assert blockset_hash(bs2) == blockset_hash(bs)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.npz")
+        save_npz(p, bs)
+        bs3 = load_npz(p)
+        assert blockset_hash(bs3) == blockset_hash(bs)
