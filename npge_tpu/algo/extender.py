@@ -82,9 +82,11 @@ def extend_anchor_groups(
     groups: AnchorGroups,
     cfg: Config,
     codes_dev=None,
+    timings=None,
 ) -> list[Block]:
     """Extend all groups; return candidate gapless blocks (one per group),
-    in deterministic group order."""
+    in deterministic group order. `timings` (StageTimings) receives an
+    ``extend_cells`` counter when given."""
     if groups.n_groups == 0:
         return []
     if codes_dev is None:
@@ -138,6 +140,8 @@ def extend_anchor_groups(
             )
             results_l[batch] = np.asarray(el)[:B]
             results_r[batch] = np.asarray(er)[:B]
+            if timings is not None:
+                timings.count("extend_cells", 2 * Bp * fb * chunk)
 
     # build blocks
     blocks: list[Block] = []

@@ -34,9 +34,13 @@ from npge_tpu.algo.rest import rest_blocks
 @dataclass
 class StageTimings:
     seconds: dict[str, float] = field(default_factory=dict)
+    counters: dict[str, int] = field(default_factory=dict)
 
     def add(self, stage: str, dt: float) -> None:
         self.seconds[stage] = self.seconds.get(stage, 0.0) + dt
+
+    def count(self, name: str, n: int) -> None:
+        self.counters[name] = self.counters.get(name, 0) + int(n)
 
     def report(self) -> str:
         total = sum(self.seconds.values())
@@ -44,6 +48,12 @@ class StageTimings:
         for k, v in self.seconds.items():
             lines.append(f"{k:<18}{v:>10.3f}")
         lines.append(f"{'TOTAL':<18}{total:>10.3f}")
+        for k, v in self.counters.items():
+            rate = ""
+            base = k.split("_cells")[0]
+            if k.endswith("_cells") and self.seconds.get(base):
+                rate = f"  ({v / self.seconds[base] / 1e6:.1f} Mcells/s)"
+            lines.append(f"{k:<18}{v:>12}{rate}")
         return "\n".join(lines)
 
 
@@ -83,7 +93,7 @@ def build_pangenome(
     log(f"anchors: {groups.n_groups} groups, {len(groups.pos)} occurrences")
 
     t0 = time.perf_counter()
-    cand = extend_anchor_groups(arena, groups, cfg, codes_dev)
+    cand = extend_anchor_groups(arena, groups, cfg, codes_dev, timings=t)
     t.add("extend", time.perf_counter() - t0)
     log(f"extend: {len(cand)} candidate blocks")
 
