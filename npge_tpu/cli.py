@@ -25,8 +25,7 @@ import os
 import sys
 
 from npge_tpu.config import Config, default_config
-from npge_tpu.model.blocks import Block, BlockSet
-from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.model.blocks import BlockSet
 from npge_tpu.model.hashing import blockset_hash
 
 

@@ -13,10 +13,7 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
-
 from npge_tpu.model.blocks import Block, BlockSet
-from npge_tpu.util import codes as C
 
 
 def _h64(data: bytes) -> int:
