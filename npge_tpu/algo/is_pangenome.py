@@ -83,17 +83,15 @@ def check_is_pangenome(
         full = BlockSet(bs.arena, list(bs.blocks))
         full.canonicalize()
         cons, src = consensus_arena(full)
-        k = max(cfg.MIN_ANCHOR_SIZE, cfg.ANCHOR_SIZE - cfg.RESEED_SHRINK)
+        # probe at the finest seed size the construction loop ever uses
+        k = cfg.MIN_ANCHOR_SIZE
         groups = find_anchors(cons, cfg, k=k)
         cand = extend_anchor_groups(cons, groups, cfg)
         mapped = deconseq(cand, src, full)
         if mapped:
-            base = quality_metric(full)
-            trial = resolve_overlaps(
-                [b for b in full.blocks if b.n_frags >= 2] + mapped,
-                bs.arena,
-                cfg,
-            )
+            multi = [b for b in full.blocks if b.n_frags >= 2]
+            base = quality_metric(BlockSet(bs.arena, multi))
+            trial = resolve_overlaps(multi + mapped, bs.arena, cfg)
             trial_bs = BlockSet(bs.arena, trial)
             if quality_metric(trial_bs) > base:
                 rep.new_hits = len(mapped)

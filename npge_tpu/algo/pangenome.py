@@ -121,7 +121,8 @@ def build_pangenome(
         full = BlockSet(arena, list(bs.blocks) + rest_blocks(arena, occ))
         full.canonicalize()
         h = blockset_hash(full)
-        if h == prev_hash:
+        if h == prev_hash and k <= cfg.MIN_ANCHOR_SIZE:
+            # unchanged blockset and no finer seed size left to try
             t.add("reseed", time.perf_counter() - t0)
             break
         prev_hash = h
@@ -150,12 +151,15 @@ def build_pangenome(
             f"resolve+join, metric={metric}"
         )
         # TrySmth-style monotonicity: a round that fails to improve the
-        # quality metric is reverted and ends the loop (bounds churny
-        # convergence deterministically)
+        # quality metric is reverted; the loop then continues with a finer
+        # k (the deep IsPangenome check probes at MIN_ANCHOR_SIZE, so the
+        # loop must exhaust the k schedule before declaring a fixed point)
         if metric <= best_metric:
             bs = BlockSet(arena, snapshot)
-            log(f"reseed {round_no}: no improvement, reverting")
-            break
+            log(f"reseed {round_no}: no improvement at k={k}, reverting")
+            if k <= cfg.MIN_ANCHOR_SIZE:
+                break
+            continue
         best_metric = metric
         snapshot = list(bs.blocks)
 

@@ -41,6 +41,14 @@ def blockset_summary(bs: BlockSet, cfg: Config | None = None) -> dict:
     shared = sum(
         d["positions"] for t, d in by_type.items() if t != "u"
     )
+    # identity histogram over multi-fragment blocks (SURVEY §5.5)
+    hist = [0] * 10
+    for b in bs.blocks:
+        if b.n_frags < 2:
+            continue
+        st = make_stat(b, arena)
+        frac = st.ident_nogap / max(st.total, 1)
+        hist[min(9, int(frac * 10))] += 1
     return {
         "genomes": n_genomes,
         "sequences": arena.n_seqs,
@@ -52,6 +60,7 @@ def blockset_summary(bs: BlockSet, cfg: Config | None = None) -> dict:
         "mean_block_identity": (
             round(ident_num / ident_den, 6) if ident_den else None
         ),
+        "identity_histogram_deciles": hist,
         "blockset_hash": f"{blockset_hash(bs):016x}",
     }
 
