@@ -81,9 +81,9 @@ def similar_align(
     texts: list[np.ndarray], k: int = 16, max_segment: int = 2000,
     match: int = 1, mismatch: int = -2, gap: int = -3,
 ) -> np.ndarray | None:
-    """Anchored progressive MSA for highly similar rows. Returns None when a
-    between-anchor segment exceeds max_segment (caller falls through to the
-    next aligner)."""
+    """Anchored progressive MSA for highly similar rows. Between-anchor
+    stretches longer than max_segment are aligned with the banded NW
+    (band sized to the length spread), so this aligner always succeeds."""
     if not texts:
         return np.zeros((0, 0), np.uint8)
     if len(texts) == 1:
@@ -104,15 +104,25 @@ def similar_align(
         if s % 2 == 1:  # anchor segment: identical in all rows
             parts.append(np.stack(segs))
             continue
-        if max(len(x) for x in segs) > max_segment:
-            return None
         if all(len(x) == len(segs[0]) for x in segs) and all(
             np.array_equal(x, segs[0]) for x in segs[1:]
         ):
             if len(segs[0]):
                 parts.append(np.stack(segs))
             continue
-        m = msa_short(segs, match=match, mismatch=mismatch, gap=gap)
+        aligner = None
+        if max(len(x) for x in segs) > max_segment:
+            # long un-anchored stretch: banded progressive alignment
+            from npge_tpu.algo.similar import banded_nw_align
+
+            spread = max(len(x) for x in segs) - min(len(x) for x in segs)
+            band = max(64, spread + 32)
+
+            def aligner(a, b, match=match, mismatch=mismatch, gap=gap,
+                        _band=band):
+                return banded_nw_align(a, b, _band, match, mismatch, gap)
+        m = msa_short(segs, match=match, mismatch=mismatch, gap=gap,
+                      aligner=aligner)
         if m.shape[1]:
             parts.append(m)
     if not parts:

@@ -20,6 +20,95 @@ import numpy as np
 from npge_tpu.util import codes as C
 
 
+def banded_nw_align(
+    a: np.ndarray, b: np.ndarray, band: int, match=1, mismatch=-2, gap=-3
+):
+    """Global alignment restricted to |i - j - (n-m)*i/n| <= band around the
+    length-proportional diagonal. Vectorized rows (prefix-max trick inside
+    the band). Falls back to the exact full DP when the band covers it."""
+    n, m = len(a), len(b)
+    if max(n, m) <= 2 * band or abs(n - m) > band:
+        # small enough for exact DP, or the band cannot contain the
+        # length-difference path: use the exact aligner
+        return nw_align(a, b, match, mismatch, gap)
+    NEG = -(1 << 40)
+    # full H matrix but only band columns computed per row; simple and
+    # adequate for the host-side fallback (memory n*m bytes would be big:
+    # store per-row band windows + offsets)
+    offs = np.zeros(n + 1, np.int64)
+    H = np.full((n + 1, 2 * band + 2), NEG, np.int64)
+    width = 2 * band + 2
+
+    def center(i):
+        return (i * m) // max(n, 1)
+
+    offs[0] = max(0, center(0) - band)
+    j0 = offs[0]
+    span0 = min(m, center(0) + band) - j0 + 1
+    H[0, :span0] = (np.arange(span0) + j0) * gap
+    for i in range(1, n + 1):
+        lo = max(0, center(i) - band)
+        hi = min(m, center(i) + band)
+        offs[i] = lo
+        plo = offs[i - 1]
+        # previous-row values aligned to this row's columns
+        js = np.arange(lo, hi + 1)
+        prev_idx = js - plo
+        prev_ok = (prev_idx >= 0) & (prev_idx < width)
+        up = np.where(prev_ok, H[i - 1, np.clip(prev_idx, 0, width - 1)], NEG)
+        diag_idx = js - 1 - plo
+        diag_ok = (diag_idx >= 0) & (diag_idx < width) & (js >= 1)
+        dg = np.where(diag_ok, H[i - 1, np.clip(diag_idx, 0, width - 1)], NEG)
+        sub = np.where(
+            (js >= 1) & (a[i - 1] == b[np.clip(js - 1, 0, m - 1)]),
+            match,
+            mismatch,
+        )
+        A = np.maximum(np.where(diag_ok, dg + sub, NEG), up + gap)
+        # left-gap prefix max within the band row
+        kk = np.arange(len(js), dtype=np.int64)
+        B = A - kk * gap
+        H[i, : len(js)] = kk * gap + np.maximum.accumulate(B)
+        H[i, len(js) :] = NEG
+    # traceback (diag > up > left), through band windows
+    ra, rb = [], []
+    i, j = n, m
+    while i > 0 or j > 0:
+        cur = H[i, j - offs[i]] if 0 <= j - offs[i] < width else NEG
+        dg = (
+            H[i - 1, j - 1 - offs[i - 1]]
+            if i > 0 and j > 0 and 0 <= j - 1 - offs[i - 1] < width
+            else NEG
+        )
+        up = (
+            H[i - 1, j - offs[i - 1]]
+            if i > 0 and 0 <= j - offs[i - 1] < width
+            else NEG
+        )
+        if (
+            i > 0
+            and j > 0
+            and dg > NEG // 2
+            and cur == dg + (match if a[i - 1] == b[j - 1] else mismatch)
+        ):
+            ra.append(a[i - 1])
+            rb.append(b[j - 1])
+            i -= 1
+            j -= 1
+        elif i > 0 and up > NEG // 2 and cur == up + gap:
+            ra.append(a[i - 1])
+            rb.append(C.GAP)
+            i -= 1
+        else:
+            ra.append(C.GAP)
+            rb.append(b[j - 1])
+            j -= 1
+    return (
+        np.array(ra[::-1], np.uint8),
+        np.array(rb[::-1], np.uint8),
+    )
+
+
 def nw_align(a: np.ndarray, b: np.ndarray, match=1, mismatch=-2, gap=-3):
     """Global alignment of two code arrays. Returns (row_a, row_b) uint8
     arrays of equal length with GAP fills."""
@@ -65,7 +154,7 @@ def nw_align(a: np.ndarray, b: np.ndarray, match=1, mismatch=-2, gap=-3):
 
 
 def _merge_into(profile_rows: list[np.ndarray], seg: np.ndarray,
-                match=1, mismatch=-2, gap=-3) -> list[np.ndarray]:
+                match=1, mismatch=-2, gap=-3, aligner=None) -> list[np.ndarray]:
     """Align seg against the profile consensus and merge, expanding all
     existing rows where seg introduces new columns."""
     if not profile_rows:
@@ -75,7 +164,8 @@ def _merge_into(profile_rows: list[np.ndarray], seg: np.ndarray,
     counts = np.stack([(prof == x).sum(axis=0) for x in range(C.N_REAL_BASES)])
     cons = counts.argmax(axis=0).astype(np.uint8)
     cons = np.where(counts.max(axis=0) > 0, cons, np.uint8(C.N))
-    rc, rs = nw_align(cons, np.asarray(seg, np.uint8), match, mismatch, gap)
+    align = aligner or nw_align
+    rc, rs = align(cons, np.asarray(seg, np.uint8), match, mismatch, gap)
     out_rows = []
     for row in profile_rows:
         new = np.full(len(rc), C.GAP, np.uint8)
@@ -86,7 +176,8 @@ def _merge_into(profile_rows: list[np.ndarray], seg: np.ndarray,
     return out_rows
 
 
-def msa_short(segments: list[np.ndarray], match=1, mismatch=-2, gap=-3) -> np.ndarray:
+def msa_short(segments: list[np.ndarray], match=1, mismatch=-2, gap=-3,
+              aligner=None) -> np.ndarray:
     """Progressive MSA of short segments (consensus-anchored, deterministic
     order: longest segment first, ties by input index). Returns a
     [len(segments), n_cols] uint8 matrix; all-empty input gives width 0."""
@@ -95,7 +186,7 @@ def msa_short(segments: list[np.ndarray], match=1, mismatch=-2, gap=-3) -> np.nd
     )
     rows: list[np.ndarray] = []
     for idx in order:
-        rows = _merge_into(rows, segments[idx], match, mismatch, gap)
+        rows = _merge_into(rows, segments[idx], match, mismatch, gap, aligner)
     width = len(rows[0]) if rows else 0
     out = np.full((len(segments), width), C.GAP, np.uint8)
     for pos, idx in enumerate(order):

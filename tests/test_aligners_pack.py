@@ -75,3 +75,38 @@ def test_pack_unpack_device():
     p_host, m_host = native.pack2(codes)
     np.testing.assert_array_equal(np.asarray(packed), p_host)
     np.testing.assert_array_equal(np.asarray(mask), m_host.astype(bool))
+
+
+def test_banded_nw_matches_full_on_similar():
+    from npge_tpu.algo.similar import banded_nw_align, nw_align
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 4, 3000).astype(np.uint8)
+    b = np.delete(a.copy(), [500, 501, 1500])  # two deletions
+    m = rng.random(len(b)) < 0.01
+    b[m] = (b[m] + 1) % 4
+    ra, rb = banded_nw_align(a, b, band=64)
+    assert C.decode(ra).replace("-", "") == C.decode(a)
+    assert C.decode(rb).replace("-", "") == C.decode(b)
+    ident = ((ra == rb) & (ra != C.GAP)).sum()
+    assert ident > len(b) - 50
+    # small case: banded == exact full DP result score-wise
+    a2, b2 = a[:80], b[:78]
+    fa, fb = nw_align(a2, b2)
+    ba, bb = banded_nw_align(a2, b2, band=100)  # covers everything
+    assert np.array_equal(fa, ba) and np.array_equal(fb, bb)
+
+
+def test_similar_align_long_unanchored_segment():
+    rng = np.random.default_rng(10)
+    core = rng.integers(0, 4, 1000).astype(np.uint8)
+    # an un-anchorable middle: one row random, others random too (no shared
+    # k-mers) but short flanks anchor; max_segment forces the banded path
+    mid_a = rng.integers(0, 4, 2500).astype(np.uint8)
+    mid_b = rng.integers(0, 4, 2400).astype(np.uint8)
+    a = np.concatenate([core, mid_a, core])
+    b = np.concatenate([core, mid_b, core])
+    m = similar_align([a, b], max_segment=2000)
+    assert m is not None
+    assert C.decode(m[0]).replace("-", "") == C.decode(a)
+    assert C.decode(m[1]).replace("-", "") == C.decode(b)
