@@ -46,14 +46,17 @@ def _load_cfg(args) -> Config:
     return cfg
 
 
-def _load_input(workdir: str) -> BlockSet:
+def _load_input(workdir: str, stage: str | None = None) -> BlockSet:
     from npge_tpu.io.checkpoint import load_stage
 
-    for stage in ("pangenome", "input"):
-        bs = load_stage(workdir, stage)
+    stages = [stage] if stage else ["pangenome", "input"]
+    for st in stages:
+        bs = load_stage(workdir, st)
         if bs is not None:
             return bs
-    raise SystemExit(f"no input.bs/pangenome.bs under {workdir}; run prepare first")
+    raise SystemExit(
+        f"no {'/'.join(stages)}.bs under {workdir}; run prepare first"
+    )
 
 
 def cmd_prepare(args) -> None:
@@ -95,7 +98,7 @@ def cmd_prepare(args) -> None:
 def cmd_examine(args) -> None:
     from npge_tpu.algo.reports import info_text
 
-    bs = _load_input(args.workdir)
+    bs = _load_input(args.workdir, getattr(args, 'stage', None))
     print(info_text(bs))
 
 
@@ -136,7 +139,7 @@ def cmd_post_processing(args) -> None:
     from npge_tpu.algo.reports import block_info_tsv, info_text, per_genome_table
     from npge_tpu.algo.trees import consensus_tree, distances_tsv
 
-    bs = _load_input(args.workdir)
+    bs = _load_input(args.workdir, getattr(args, 'stage', None))
     out = args.workdir
     with open(os.path.join(out, "blocks.tsv"), "w") as fh:
         fh.write(block_info_tsv(bs))
@@ -162,7 +165,7 @@ def cmd_post_processing(args) -> None:
 def cmd_info(args) -> None:
     from npge_tpu.algo.reports import info_text
 
-    print(info_text(_load_input(args.workdir)))
+    print(info_text(_load_input(args.workdir, getattr(args, 'stage', None))))
 
 
 def cmd_check(args) -> None:
@@ -170,7 +173,8 @@ def cmd_check(args) -> None:
 
     cfg = _load_cfg(args)
     rep = check_is_pangenome(
-        _load_input(args.workdir), cfg, deep=getattr(args, "deep", False)
+        _load_input(args.workdir, getattr(args, 'stage', None)), cfg,
+        deep=getattr(args, "deep", False)
     )
     print("OK" if rep.ok else "FAIL")
     for m in rep.messages:
@@ -179,7 +183,7 @@ def cmd_check(args) -> None:
 
 
 def cmd_hash(args) -> None:
-    print(f"{blockset_hash(_load_input(args.workdir)):016x}")
+    print(f"{blockset_hash(_load_input(args.workdir, getattr(args, 'stage', None))):016x}")
 
 
 def cmd_run(args) -> None:
@@ -189,7 +193,7 @@ def cmd_run(args) -> None:
     from npge_tpu.io.checkpoint import save_stage
 
     cfg = _load_cfg(args)
-    bs = _load_input(args.workdir)
+    bs = _load_input(args.workdir, getattr(args, 'stage', None))
     if args.name.endswith(".py"):
         bs = meta.run_script(args.name, bs, cfg)
     else:
@@ -208,7 +212,7 @@ def cmd_processors(args) -> None:
 def cmd_report(args) -> None:
     from npge_tpu.io.html_report import write_report
 
-    bs = _load_input(args.workdir)
+    bs = _load_input(args.workdir, getattr(args, 'stage', None))
     out = os.path.join(args.workdir, "report.html")
     write_report(bs, out, _load_cfg(args))
     print(f"wrote {out}")
@@ -220,6 +224,7 @@ def main(argv=None) -> None:
 
     def common(sp, cfg_opts=True):
         sp.add_argument("-w", "--workdir", default="npge-work")
+        sp.add_argument("--stage", help="load this stage's .bs instead of pangenome/input")
         if cfg_opts:
             sp.add_argument("--config", help="JSON config file")
             sp.add_argument(
