@@ -1,0 +1,132 @@
+"""Pallas fragment-extension kernel — DMA'd contiguous windows.
+
+Drop-in computation of ops.extend.extend_chunk's per-chunk result, built for
+TPU memory behavior: instead of an XLA gather over [B, F, S] indices, each
+(group, fragment) window is one contiguous ascending read of the doubled
+rc-arena (codes2, see ops/extend.py) DMA'd HBM -> VMEM, and all column logic
+runs as VPU ops on [GB, S] registers. Grid = groups / GB; per grid step the
+kernel issues GB*F window DMAs up front (they overlap), waits once, then
+computes.
+
+Status: semantics verified against extend_chunk in interpreter mode; on-chip
+benchmarking pending (the TPU tunnel died mid-round — see ROUND_NOTES.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    base_ref, cap_ref, fmask_ref, carry_ref, codes2_ref, out_ref,
+    win, sems, *, GB, F, S, num, den,
+):
+    i0 = pl.program_id(0) * GB  # scalar-prefetch refs hold the FULL array
+    # start all window DMAs, then wait
+    for g in range(GB):
+        for f in range(F):
+            pltpu.make_async_copy(
+                codes2_ref.at[pl.ds(base_ref[i0 + g, f], S)],
+                win.at[f, g],
+                sems.at[f * GB + g],
+            ).start()
+    for g in range(GB):
+        for f in range(F):
+            pltpu.make_async_copy(
+                codes2_ref.at[pl.ds(base_ref[i0 + g, f], S)],
+                win.at[f, g],
+                sems.at[f * GB + g],
+            ).wait()
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (GB, S), 1)
+    mn = jnp.full((GB, S), 255, jnp.int32)
+    mx = jnp.full((GB, S), -1, jnp.int32)
+    usable_all = jnp.full((GB, S), True)
+    cap = cap_ref[:, :]      # [GB, F] int32 (VMEM)
+    fmask = fmask_ref[:, :]  # [GB, F] int32 (1/0)
+    # mirrors ops.extend.extend_chunk's masked min/max exactly:
+    #   for-max: usable -> ch, present-unusable -> 255, absent -> -1
+    #   for-min: usable -> ch, otherwise 255
+    for f in range(F):
+        ch = win[f].astype(jnp.int32)  # [GB, S]
+        present = fmask[:, f : f + 1] > 0
+        uf = (s_iota < cap[:, f : f + 1]) & (ch < 4)
+        eff_max = jnp.where(present, jnp.where(uf, ch, 255), -1)
+        eff_min = jnp.where(present & uf, ch, 255)
+        mx = jnp.maximum(mx, eff_max)
+        mn = jnp.minimum(mn, eff_min)
+        usable_all = usable_all & (~present | uf)
+    col_ident = usable_all & (mn == mx) & (mx < 4)
+    usable_prefix = (
+        jnp.cumprod(usable_all.astype(jnp.int32), axis=1) == 1
+    )
+    ident_eff = col_ident & usable_prefix
+    cnt = jnp.cumsum(ident_eff.astype(jnp.int32), axis=1)
+    L = s_iota + 1
+    carry_len = carry_ref[:, 0:1]
+    carry_ident = carry_ref[:, 1:2]
+    tot_len = carry_len + L
+    tot_cnt = carry_ident + cnt
+    ok = (
+        usable_prefix
+        & ident_eff
+        & (tot_cnt * jnp.int32(den) >= jnp.int32(num) * tot_len)
+    )
+    ext = jnp.max(jnp.where(ok, L, 0), axis=1, keepdims=True)  # [GB, 1]
+    cnt_at = jnp.max(jnp.where(L == ext, cnt, 0), axis=1, keepdims=True)
+    new_ident = carry_ident + jnp.where(ext > 0, cnt_at, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GB, 128), 1)
+    out_ref[:, :] = jnp.where(
+        lane == 0,
+        ext,
+        jnp.where(lane == 1, carry_len + ext, jnp.where(lane == 2, new_ident, 0)),
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk", "GB", "num", "den", "interpret"))
+def extend_chunk_pallas(
+    codes2, base, fmask, cap, carry_len, carry_ident,
+    num: int, den: int, chunk: int, GB: int = 8, interpret: bool = False,
+):
+    """Same contract as ops.extend.extend_chunk (returns ext, new_len,
+    new_ident), computed with windowed DMA. B must be a multiple of GB."""
+    B, F = base.shape
+    assert B % GB == 0
+    carry = jnp.stack([carry_len, carry_ident], axis=1).astype(jnp.int32)
+    kernel = partial(_kernel, GB=GB, F=F, S=chunk, num=num, den=den)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # base indices prefetch to SMEM
+        grid=(B // GB,),
+        in_specs=[
+            pl.BlockSpec((GB, F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, F), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, 2), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # codes2 stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (GB, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((F, GB, chunk), jnp.uint8),
+            pltpu.SemaphoreType.DMA((F * GB,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        base.astype(jnp.int32),          # scalar-prefetch (SMEM)
+        cap.astype(jnp.int32),
+        fmask.astype(jnp.int32),
+        carry,
+        codes2,
+    )
+    return out[:, 0], out[:, 1], out[:, 2]
