@@ -1,0 +1,56 @@
+"""End-to-end CLI workflow in-process (the user surface)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from npge_tpu.cli import main
+from npge_tpu.io.fasta import write_fasta
+from npge_tpu.util.synthetic import synthetic_arena
+
+
+@pytest.fixture
+def world(tmp_path):
+    arena = synthetic_arena(
+        n_genomes=3, length=5000, seed=33, sub_rate=0.01, indel_rate=0.0005
+    )
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"g{i}.fa"
+        with open(p, "w") as fh:
+            write_fasta(fh, [(arena.names[i], arena.seq_codes(i))])
+        paths.append(str(p))
+    return tmp_path, paths
+
+
+def test_cli_full_workflow(world, capsys):
+    tmp_path, paths = world
+    w = str(tmp_path / "work")
+    opts = ["-o", "ANCHOR_SIZE=17", "-o", "MIN_LENGTH=60", "-o", "MIN_END=3"]
+    main(["prepare", "--fasta", *paths, "-w", w])
+    main(["examine", "-w", w])
+    main(["make-pangenome", "-w", w, *opts])
+    out = capsys.readouterr().out
+    assert '"is_pangenome": true' in out
+    with pytest.raises(SystemExit) as e:
+        main(["check", "-w", w, *opts])
+    assert e.value.code == 0
+    main(["post-processing", "-w", w])
+    main(["report", "-w", w])
+    main(["run", "Stem", "-w", w, "--stage-name", "stem", *opts])
+    main(["hash", "-w", w, "--stage", "stem"])
+    for f in (
+        "input.bs", "pangenome.bs", "blocks.tsv", "mutations.tsv",
+        "distances.tsv", "bsa.tsv", "consensus_tree.nwk", "info.txt",
+        "genomes_stats.tsv", "report.html", "stem.bs",
+    ):
+        assert os.path.exists(os.path.join(w, f)), f
+
+
+def test_cli_rejects_unknown_option(world):
+    tmp_path, paths = world
+    w = str(tmp_path / "w2")
+    main(["prepare", "--fasta", *paths, "-w", w])
+    with pytest.raises(AttributeError):
+        main(["check", "-w", w, "-o", "NOT_A_KNOB=1"])
