@@ -209,6 +209,23 @@ def cmd_processors(args) -> None:
         print(n)
 
 
+def cmd_shell(args) -> None:
+    """Interactive console with meta/bs/cfg in scope (the reference's
+    readline Lua terminal with `meta` in scope ⚠[B], SURVEY.md §2.5)."""
+    import code
+
+    from npge_tpu import meta
+
+    cfg = _load_cfg(args)
+    bs = _load_input(args.workdir, getattr(args, "stage", None))
+    banner = (
+        f"npge-tpu shell — bs: {len(bs.blocks)} blocks over "
+        f"{bs.arena.n_seqs} sequences; objects: meta, bs, cfg\n"
+        f"processors: {', '.join(meta.names())}"
+    )
+    code.interact(banner=banner, local={"meta": meta, "bs": bs, "cfg": cfg})
+
+
 def cmd_report(args) -> None:
     from npge_tpu.io.html_report import write_report
 
@@ -273,6 +290,10 @@ def main(argv=None) -> None:
     sp = sub.add_parser("report", help="write a self-contained HTML report")
     common(sp)
     sp.set_defaults(fn=cmd_report)
+
+    sp = sub.add_parser("shell", help="interactive console (meta/bs/cfg)")
+    common(sp)
+    sp.set_defaults(fn=cmd_shell)
 
     args = p.parse_args(argv)
     args.fn(args)
