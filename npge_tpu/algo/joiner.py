@@ -168,7 +168,10 @@ def _join_good_incremental(
 
 
 def joinable_pairs(
-    bs: BlockSet, cfg: Config | None = None, cache: _StatCache | None = None
+    bs: BlockSet,
+    cfg: Config | None = None,
+    cache: _StatCache | None = None,
+    rejected: set | None = None,
 ) -> list[tuple[int, int, list[tuple[int, int]]]]:
     """All (block_i, block_j, pairing) where j can be appended after i and
     the joined block remains good. pairing: list of (frag_of_i, frag_of_j).
@@ -186,12 +189,20 @@ def joinable_pairs(
         if len({p[0] for p in pairs}) != n1 or len({p[1] for p in pairs}) != n1:
             continue
         pairing = sorted(pairs)
+        rkey = (
+            id(bs.blocks[b1]), id(bs.blocks[b2]), flip1, flip2, tuple(pairing)
+        )
+        if rejected is not None and rkey in rejected:
+            continue
+        mid_stats = None
         if cfg is not None and n1 >= 2:
             if cache is not None:
-                ok, _, _ = _join_good_incremental(
+                ok, mg, mw = _join_good_incremental(
                     bs, bs.blocks[b1], bs.blocks[b2], pairing,
                     flip1, flip2, cfg, cache,
                 )
+                if ok is not None:
+                    mid_stats = (mg, mw)
             else:
                 ok = None
             if ok is None:  # short block or no cache: full construction
@@ -201,8 +212,10 @@ def joinable_pairs(
                 )
                 ok = is_good_block(joined, bs.arena, cfg)
             if not ok:
+                if rejected is not None:
+                    rejected.add(rkey)
                 continue
-        out.append((b1, b2, pairing, flip1, flip2))
+        out.append((b1, b2, pairing, flip1, flip2, mid_stats))
     return out
 
 
@@ -273,20 +286,25 @@ def join_blocks(bs: BlockSet, cfg: Config | None = None) -> int:
     """
     total = 0
     cache = _StatCache(bs, cfg.MIN_END) if cfg is not None else None
+    rejected: set = set()  # probe results persist across fixpoint rounds
     while True:
-        cands = joinable_pairs(bs, cfg, cache)
+        cands = joinable_pairs(bs, cfg, cache, rejected)
         if not cands:
             return total
         consumed: set[int] = set()
         new_blocks: list[Block] = []
-        for b1, b2, pairing, flip1, flip2 in cands:
+        for b1, b2, pairing, flip1, flip2, mid_stats in cands:
             if b1 in consumed or b2 in consumed:
                 continue
-            new_blocks.append(
-                _join_two(
-                    bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip1, flip2
-                )
+            joined = _join_two(
+                bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip1, flip2
             )
+            if cache is not None and mid_stats is not None:
+                cache.put_joined(
+                    joined, bs.blocks[b1], bs.blocks[b2],
+                    flip1, flip2, *mid_stats,
+                )
+            new_blocks.append(joined)
             consumed.update((b1, b2))
             total += 1
         bs.blocks = [
