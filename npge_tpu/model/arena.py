@@ -105,14 +105,34 @@ class GenomeArena:
         np.add.at(out, starts[starts < self.total_length], 1)
         return np.cumsum(out, dtype=np.int32) if out.size else out
 
+    def circular(self, seq_id: int) -> bool:
+        return self.parsed[seq_id].circular
+
     # ---- fragment text ----
+    def circ_codes(self, seq_id: int, lo: int, length: int) -> np.ndarray:
+        """Codes of ``length`` positions starting at ``lo`` (mod seq length),
+        wrapping past the origin of a circular sequence when needed."""
+        s = self.seq_codes(seq_id)
+        L = len(s)
+        lo %= L
+        if lo + length <= L:
+            return s[lo : lo + length]
+        return np.concatenate([s[lo:], s[: lo + length - L]])
+
     def fragment_codes(
         self, seq_id: int, start: int, length: int, ori: int
     ) -> np.ndarray:
         """Text of a fragment. ``start`` is the *minimum* position on the
         sequence regardless of orientation (see model.fragments); ori=-1
-        returns the reverse complement of the occupied range."""
-        s = self.seq_codes(seq_id)[start : start + length]
+        returns the reverse complement of the occupied range.
+
+        ``start + length > seq_len`` marks a *wrap* fragment spanning the
+        origin of a circular sequence (positions start..L-1 then 0..rest);
+        wrap fragments are produced only by origin joins (algo.joiner)."""
+        if start + length > self.seq_len(seq_id):
+            s = self.circ_codes(seq_id, start, length)
+        else:
+            s = self.seq_codes(seq_id)[start : start + length]
         return C.revcomp(s) if ori == -1 else s
 
     @staticmethod

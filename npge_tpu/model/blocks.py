@@ -197,5 +197,10 @@ class BlockSet:
             f = b.frags
             for i in range(len(f)):
                 s, st, ln, _ = f.row(i)
-                cov[s][st : st + ln] += 1
+                L = len(cov[s])
+                if st + ln > L:  # wrap fragment on a circular sequence
+                    cov[s][st:] += 1
+                    cov[s][: st + ln - L] += 1
+                else:
+                    cov[s][st : st + ln] += 1
         return cov
