@@ -20,7 +20,7 @@ from npge_tpu.model.arena import GenomeArena
 from npge_tpu.model.blocks import Block
 from npge_tpu.model.fragments import FragmentTable
 from npge_tpu.algo.anchors import AnchorGroups
-from npge_tpu.ops.extend import extend_groups, make_codes2
+from npge_tpu.ops.extend import extend_groups, make_codes2_rows
 
 # target element budget per (B, F, S) gather to bound device memory
 _ELEM_BUDGET = 1 << 26
@@ -92,7 +92,7 @@ def extend_anchor_groups(
     if codes_dev is None:
         codes_dev = jnp.asarray(arena.codes)
     T = arena.total_length
-    codes2 = make_codes2(codes_dev)
+    codes2_rows = make_codes2_rows(codes_dev)
     k = groups.k
     cap_l, cap_r, bad_group = _compute_caps(groups, arena)
     sizes = groups.sizes()
@@ -136,7 +136,7 @@ def extend_anchor_groups(
                 None,
                 lo, hi, ori, fmask, cl, cr,
                 num, den, chunk=chunk, max_rounds=max_rounds,
-                codes2=codes2, T=T,
+                codes2_rows=codes2_rows, T=T,
             )
             results_l[batch] = np.asarray(el)[:B]
             results_r[batch] = np.asarray(er)[:B]

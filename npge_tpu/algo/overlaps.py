@@ -33,7 +33,10 @@ def _block_score_key(b: Block, arena: GenomeArena):
     consensus-reseed candidates refine bigger but thinner blocks, mirroring
     the effect of the reference's boundary-projection resolver), then total
     coverage, then a canonical deterministic tie-break."""
-    first = b.frags.row(int(np.argmin(b.frags.seq_id * (1 << 28) + b.frags.start)))
+    # int64 key: int32 seq_id*(1<<28)+start wraps once seq_id >= 8 and would
+    # silently change the canonical admission order on many-genome runs
+    key = b.frags.seq_id.astype(np.int64) * (np.int64(1) << 32) + b.frags.start
+    first = b.frags.row(int(np.argmin(key)))
     return (-b.n_frags, -b.n_frags * b.n_cols, first)
 
 

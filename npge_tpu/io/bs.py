@@ -90,14 +90,10 @@ def write_blocks_dir(bs: BlockSet, directory: str) -> int:
 def read_blockset(fh_or_path, arena: GenomeArena | None = None) -> BlockSet:
     """Read a .bs file. If `arena` is None the file must contain the
     sequences section."""
-    records = read_fasta(fh_or_path)  # comments are skipped by the parser? no:
-    # read_fasta keeps only '>' records; '#' lines are treated as sequence
-    # data unless filtered — they never start with '>' nor contain bases, and
-    # C.encode maps letters to codes; guard by stripping '#' lines up front.
     seq_records: dict[str, np.ndarray] = {}
     frag_records: list[tuple[str, str, np.ndarray]] = []
-    # re-read with block= detection from raw headers
-    # (read_fasta keeps only the first word; redo parsing here)
+    # single-pass parse: '#' comment lines skipped, '>' headers carry
+    # key=value attributes (block=NAME marks fragment records)
     if isinstance(fh_or_path, str):
         data = open(fh_or_path, "rb").read()
     else:
@@ -156,10 +152,20 @@ def read_blockset(fh_or_path, arena: GenomeArena | None = None) -> BlockSet:
         if any(len(t) != width for t in texts):
             raise ValueError(f"ragged alignment rows in block {bname}")
         aln = np.stack(texts)
+        # A block alignment is implicit (dropped) only when provably so:
+        # no gap characters AND every row's text length equals its
+        # fragment's length — then the dense rows are exactly what
+        # Block.rows() would reconstruct.
         gapless = not (aln == C.GAP).any()
+        lengths_match = all(len(t) == r[2] for t, r in zip(texts, frows))
+        if gapless and not lengths_match:
+            raise ValueError(
+                f"block {bname}: gapless row text length differs from "
+                "fragment length"
+            )
         block = Block(
             FragmentTable.from_rows(frows),
-            None if gapless and len(set(r[2] for r in frows)) <= 1 else aln,
+            None if gapless else aln,
             name=bname,
         )
         bs.add(block)

@@ -114,6 +114,12 @@ class GenomeArena:
         wrapping past the origin of a circular sequence when needed."""
         s = self.seq_codes(seq_id)
         L = len(s)
+        if L == 0:
+            if length:
+                raise ValueError(
+                    f"circ_codes: nonempty read from empty sequence {seq_id}"
+                )
+            return s[:0]
         lo %= L
         if lo + length <= L:
             return s[lo : lo + length]
@@ -128,8 +134,13 @@ class GenomeArena:
 
         ``start + length > seq_len`` marks a *wrap* fragment spanning the
         origin of a circular sequence (positions start..L-1 then 0..rest);
-        wrap fragments are produced only by origin joins (algo.joiner)."""
+        wrap fragments are produced by origin joins (algo.joiner)."""
         if start + length > self.seq_len(seq_id):
+            if not self.circular(seq_id):
+                raise ValueError(
+                    f"fragment [{start}, {start}+{length}) overruns linear "
+                    f"sequence {seq_id} (len {self.seq_len(seq_id)})"
+                )
             s = self.circ_codes(seq_id, start, length)
         else:
             s = self.seq_codes(seq_id)[start : start + length]

@@ -42,8 +42,12 @@ def block_hash(block: Block, arena) -> int:
 
 
 def blockset_hash(bs: BlockSet) -> int:
-    """XOR of block hashes mixed with the block count — order-independent."""
-    h = 0
-    for b in bs.blocks:
-        h ^= block_hash(b, bs.arena)
-    return h ^ _h64(f"n={len(bs.blocks)}".encode())
+    """Order-independent: hash of the sorted block hashes.
+
+    (Not an XOR fold: XOR cancels duplicate blocks — {A, A, B} would collide
+    with {B} plus any self-cancelling pair, and pre-Rest candidate sets can
+    legitimately contain duplicates.)
+    """
+    hs = sorted(block_hash(b, bs.arena) for b in bs.blocks)
+    payload = b"%d;" % len(hs) + b"".join(h.to_bytes(8, "little") for h in hs)
+    return _h64(payload)

@@ -41,6 +41,86 @@ def make_codes2(codes: jax.Array) -> jax.Array:
     return jnp.concatenate([codes, comp[::-1]])
 
 
+_LANE = 128  # TPU lane width; row size of the 2-D arena view
+
+
+@jax.jit
+def make_codes2_rows(codes: jax.Array) -> jax.Array:
+    """Doubled arena reshaped to [N, 128] rows (padded with N=4 sentinel).
+
+    The production extension path gathers whole 128-byte rows (efficient on
+    TPU) instead of single bytes, then aligns windows in-register with a
+    log-step shift (see ``window_rows``). One extra all-sentinel row is
+    appended so a window's trailing row read never needs clamping logic that
+    could alias real data.
+    """
+    codes2 = make_codes2(codes)
+    pad = (-codes2.shape[0]) % _LANE + _LANE
+    return jnp.pad(codes2, (0, pad), constant_values=4).reshape(-1, _LANE)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def window_rows(codes2_rows: jax.Array, base: jax.Array, chunk: int):
+    """ch[B, F, S] = codes2[base + s] for s in [0, chunk).
+
+    Row-granular gather (slice size 128 along the minor dim) + 7 log-step
+    lane shifts by ``base % 128`` — no per-byte gathers, all VPU-friendly.
+    Out-of-range reads return the N sentinel (4); callers mask by cap/bounds
+    anyway.
+    """
+    B, F = base.shape
+    R = chunk // _LANE + 1
+    row0 = base // _LANE
+    rows = row0[..., None] + jnp.arange(R, dtype=base.dtype)
+    NR = codes2_rows.shape[0]
+    # clamp to the sentinel row (last row is all-N padding)
+    rows = jnp.where((rows < 0) | (rows >= NR), NR - 1, rows)
+    w = jnp.take(codes2_rows, rows, axis=0)  # [B, F, R, 128]
+    w = w.reshape(B, F, R * _LANE)
+    off = (base % _LANE)[..., None]
+    for b in range(7):  # 2**7 == _LANE
+        t = 1 << b
+        w = jnp.where((off >> b) & 1 == 1, jnp.roll(w, -t, axis=-1), w)
+    return w[..., :chunk]
+
+
+def _extend_core(ch, within, fmask, carry_len, carry_ident, ident_num, ident_den):
+    """Column logic shared by both window producers.
+
+    ch[B,F,S] int32 codes; within[B,F,S] bool (in-cap, in-arena). Returns
+    (ext[B], new_len[B], new_ident[B]) — see ``extend_chunk``.
+    """
+    usable_f = within & (ch < 4)  # per-fragment usable
+    # masked min/max over fragments to test all-equal
+    BIG, SMALL = jnp.int32(255), jnp.int32(-1)
+    eff_for_max = jnp.where(fmask[..., None], jnp.where(usable_f, ch, BIG), SMALL)
+    eff_for_min = jnp.where(fmask[..., None], jnp.where(usable_f, ch, BIG), BIG)
+    col_max = eff_for_max.max(axis=1)  # [B, S]
+    col_min = eff_for_min.min(axis=1)
+    col_usable = (fmask[..., None] <= usable_f).all(axis=1)  # mask -> usable
+    col_ident = col_usable & (col_min == col_max) & (col_max < 4)
+
+    # hard stop at first unusable column
+    usable_prefix = jnp.cumprod(col_usable.astype(jnp.int32), axis=1) == 1
+    ident_eff = col_ident & usable_prefix
+    cnt = jnp.cumsum(ident_eff.astype(jnp.int32), axis=1)  # [B, S]
+    S = ch.shape[-1]
+    L = jnp.arange(1, S + 1, dtype=jnp.int32)[None, :]  # candidate lengths
+    tot_len = carry_len[:, None] + L
+    tot_cnt = carry_ident[:, None] + cnt
+    ok = (
+        usable_prefix
+        & ident_eff  # last added column identical
+        & (tot_cnt * jnp.int32(ident_den) >= jnp.int32(ident_num) * tot_len)
+    )
+    ext = jnp.max(jnp.where(ok, L, 0), axis=1)  # [B]
+    # identical count at the chosen length (0 -> carry unchanged)
+    i0 = jnp.maximum(ext - 1, 0)
+    cnt_at = jnp.take_along_axis(cnt, i0[:, None], axis=1)[:, 0]
+    new_ident = carry_ident + jnp.where(ext > 0, cnt_at, 0)
+    return ext, carry_len + ext, new_ident
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def extend_chunk(
     codes2: jax.Array,   # uint8[2T] doubled arena
@@ -61,48 +141,59 @@ def extend_chunk(
     added column is identical. A column is usable only if every present
     fragment has an in-cap real base there; the first unusable column hard-
     stops the scan.
+
+    This is the byte-gather reference formulation (slow on TPU; kept as the
+    parity oracle). Production path: ``extend_chunk_rows``.
     """
-    B, F = base.shape
     s = jnp.arange(chunk, dtype=jnp.int32)  # [S]
     T2 = codes2.shape[0]
     idx = base[..., None] + s  # [B, F, S]
     ch = jnp.take(codes2, jnp.clip(idx, 0, T2 - 1), axis=0).astype(jnp.int32)
     within = (s[None, None, :] < cap[..., None]) & (idx >= 0) & (idx < T2)
-    usable_f = within & (ch < 4)  # per-fragment usable
-    # masked min/max over fragments to test all-equal
-    BIG, SMALL = jnp.int32(255), jnp.int32(-1)
-    eff_for_max = jnp.where(fmask[..., None], jnp.where(usable_f, ch, BIG), SMALL)
-    eff_for_min = jnp.where(fmask[..., None], jnp.where(usable_f, ch, BIG), BIG)
-    col_max = eff_for_max.max(axis=1)  # [B, S]
-    col_min = eff_for_min.min(axis=1)
-    col_usable = (fmask[..., None] <= usable_f).all(axis=1)  # mask -> usable
-    col_ident = col_usable & (col_min == col_max) & (col_max < 4)
-
-    # hard stop at first unusable column
-    usable_prefix = jnp.cumprod(col_usable.astype(jnp.int32), axis=1) == 1
-    ident_eff = col_ident & usable_prefix
-    cnt = jnp.cumsum(ident_eff.astype(jnp.int32), axis=1)  # [B, S]
-    L = s[None, :] + 1  # candidate added-lengths
-    tot_len = carry_len[:, None] + L
-    tot_cnt = carry_ident[:, None] + cnt
-    ok = (
-        usable_prefix
-        & ident_eff  # last added column identical
-        & (tot_cnt * jnp.int32(ident_den) >= jnp.int32(ident_num) * tot_len)
+    return _extend_core(
+        ch, within, fmask, carry_len, carry_ident, ident_num, ident_den
     )
-    ext = jnp.max(jnp.where(ok, L, 0), axis=1)  # [B]
-    # identical count at the chosen length (0 -> carry unchanged)
-    i0 = jnp.maximum(ext - 1, 0)
-    cnt_at = jnp.take_along_axis(cnt, i0[:, None], axis=1)[:, 0]
-    new_ident = carry_ident + jnp.where(ext > 0, cnt_at, 0)
-    return ext, carry_len + ext, new_ident
+
+
+@partial(jax.jit, static_argnames=("chunk", "T2"))
+def extend_chunk_rows(
+    codes2_rows: jax.Array,  # uint8[N, 128] doubled arena, row view
+    T2: int,                 # true (unpadded) doubled-arena length
+    base: jax.Array,
+    fmask: jax.Array,
+    cap: jax.Array,
+    carry_len: jax.Array,
+    carry_ident: jax.Array,
+    ident_num: int,
+    ident_den: int,
+    chunk: int,
+):
+    """``extend_chunk`` with the TPU-efficient row-gather window producer.
+
+    Bit-identical results to ``extend_chunk`` (tests assert it); the only
+    difference is how the [B, F, S] character windows are materialized:
+    128-byte row gathers + log-step lane shifts instead of per-byte gathers.
+    """
+    s = jnp.arange(chunk, dtype=jnp.int32)
+    ch = window_rows(codes2_rows, base, chunk).astype(jnp.int32)
+    idx = base[..., None] + s
+    within = (s[None, None, :] < cap[..., None]) & (idx >= 0) & (idx < T2)
+    return _extend_core(
+        ch, within, fmask, carry_len, carry_ident, ident_num, ident_den
+    )
 
 
 def extend_side(
     codes2, base, fmask, cap, ident_num, ident_den,
     chunk: int = 512, max_rounds: int = 8,
+    codes2_rows=None, T2: int | None = None,
 ):
-    """Host-driven chunked extension on one side. Returns total ext[B]."""
+    """Host-driven chunked extension on one side. Returns total ext[B].
+
+    Pass ``codes2_rows``+``T2`` (from :func:`make_codes2_rows`) to use the
+    row-gather production path; with only ``codes2`` the byte-gather oracle
+    formulation runs.
+    """
     B = base.shape[0]
     base = jnp.asarray(base)
     cap = jnp.asarray(cap)
@@ -110,10 +201,16 @@ def extend_side(
     carry_ident = jnp.zeros(B, jnp.int32)
     total = np.zeros(B, np.int32)
     for _ in range(max_rounds):
-        ext, carry_len, carry_ident = extend_chunk(
-            codes2, base, fmask, cap, carry_len, carry_ident,
-            ident_num, ident_den, chunk,
-        )
+        if codes2_rows is not None:
+            ext, carry_len, carry_ident = extend_chunk_rows(
+                codes2_rows, T2, base, fmask, cap, carry_len, carry_ident,
+                ident_num, ident_den, chunk,
+            )
+        else:
+            ext, carry_len, carry_ident = extend_chunk(
+                codes2, base, fmask, cap, carry_len, carry_ident,
+                ident_num, ident_den, chunk,
+            )
         ext_np = np.asarray(ext)
         total += ext_np
         if not (ext_np == chunk).any():
@@ -156,16 +253,19 @@ def extend_groups(
     max_rounds: int = 8,
     codes2=None,
     T: int | None = None,
+    codes2_rows=None,
 ):
     """Two-sided extension (compatibility API over the codes2 layout).
 
-    ``codes`` may be the plain arena (codes2 built on the fly) or pass
-    ``codes2``+``T`` directly to reuse the doubled arena across calls.
+    ``codes`` may be the plain arena (codes2/codes2_rows built on the fly),
+    or pass ``codes2``+``T`` (oracle path) / ``codes2_rows``+``T`` (row-
+    gather production path) directly to reuse the doubled arena across calls.
     """
-    if codes2 is None:
+    if codes2 is None and codes2_rows is None:
         T = int(codes.shape[0])
-        codes2 = make_codes2(jnp.asarray(codes))
+        codes2_rows = make_codes2_rows(jnp.asarray(codes))
     assert T is not None
+    T2 = 2 * T
     base_l, base_r = bases_for_groups(
         np.asarray(lo), np.asarray(hi), np.asarray(ori), T
     )
@@ -173,9 +273,11 @@ def extend_groups(
     el = extend_side(
         codes2, base_l, fmask, np.asarray(cap_left, np.int32),
         ident_num, ident_den, chunk, max_rounds,
+        codes2_rows=codes2_rows, T2=T2,
     )
     er = extend_side(
         codes2, base_r, fmask, np.asarray(cap_right, np.int32),
         ident_num, ident_den, chunk, max_rounds,
+        codes2_rows=codes2_rows, T2=T2,
     )
     return el, er

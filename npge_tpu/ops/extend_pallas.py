@@ -63,11 +63,22 @@ def _kernel(
         mn = jnp.minimum(mn, eff_min)
         usable_all = usable_all & (~present | uf)
     col_ident = usable_all & (mn == mx) & (mx < 4)
-    usable_prefix = (
-        jnp.cumprod(usable_all.astype(jnp.int32), axis=1) == 1
+    # Mosaic has no cumsum/cumprod lowering; inclusive prefix sums are
+    # computed as [GB,S] @ [S,S] upper-triangular matmuls on the MXU
+    # (f32 is exact for integer counts <= 2^24; S is far below that).
+    ii = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    tri = (ii <= jj).astype(jnp.float32)
+    bad_cum = jnp.dot(
+        1.0 - usable_all.astype(jnp.float32), tri,
+        preferred_element_type=jnp.float32,
     )
+    usable_prefix = bad_cum < 0.5
     ident_eff = col_ident & usable_prefix
-    cnt = jnp.cumsum(ident_eff.astype(jnp.int32), axis=1)
+    cnt = jnp.dot(
+        ident_eff.astype(jnp.float32), tri,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     L = s_iota + 1
     carry_len = carry_ref[:, 0:1]
     carry_ident = carry_ref[:, 1:2]

@@ -127,3 +127,40 @@ def test_end_to_end_anchor_extension_synthetic():
     for b in long_blocks[:20]:
         num, den = block_identity(b, arena)
         assert cfg.MIN_IDENTITY.le_ratio(num, den)
+
+
+def test_rows_path_matches_byte_gather_oracle():
+    """extend_chunk_rows (row-gather + log-shift production path) must be
+    bit-identical to extend_chunk (byte-gather oracle) on random inputs,
+    including windows straddling arena boundaries."""
+    from npge_tpu.ops.extend import (
+        extend_chunk, extend_chunk_rows, make_codes2, make_codes2_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    T = 5000  # deliberately not a multiple of 128
+    codes = rng.integers(0, 5, T, dtype=np.uint8)  # includes N codes
+    codes_j = jnp.asarray(codes)
+    codes2 = make_codes2(codes_j)
+    codes2_rows = make_codes2_rows(codes_j)
+    T2 = 2 * T
+    for chunk in (128, 384):
+        B, F = 16, 3
+        base = rng.integers(0, T2, (B, F), dtype=np.int32)
+        # force some windows to straddle the end of the doubled arena
+        base[0] = T2 - chunk // 2
+        fmask = rng.random((B, F)) < 0.8
+        fmask[:, 0] = True
+        cap = rng.integers(0, chunk + 1, (B, F), dtype=np.int32)
+        cl = rng.integers(0, 100, B, dtype=np.int32)
+        ci = (cl * 9) // 10
+        a = extend_chunk(
+            codes2, jnp.asarray(base), jnp.asarray(fmask), jnp.asarray(cap),
+            jnp.asarray(cl), jnp.asarray(ci), 9, 10, chunk,
+        )
+        b = extend_chunk_rows(
+            codes2_rows, T2, jnp.asarray(base), jnp.asarray(fmask),
+            jnp.asarray(cap), jnp.asarray(cl), jnp.asarray(ci), 9, 10, chunk,
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -59,10 +59,13 @@ def test_world_with_assembly_gaps_of_N():
     bs, _ = build_pangenome(arena2, cfg)
     rep = check_is_pangenome(bs, cfg)
     assert rep.ok, rep.messages
-    # no multi-fragment block column row may claim an identical N column
-    from npge_tpu.model.stats import make_stat
-
+    # no multi-fragment block may contain an all-N column: such a column
+    # can never satisfy the identical-column rule, so the builder must not
+    # have extended through it
     for b in bs.blocks:
         if b.n_frags >= 2:
             rows = b.rows(bs.arena)
-            assert not ((rows == 4).all(axis=0)).any() or True  # informative
+            all_n_cols = (rows == 4).all(axis=0)
+            assert not all_n_cols.any(), (
+                f"block {b.name}: {int(all_n_cols.sum())} all-N columns"
+            )

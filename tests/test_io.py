@@ -94,3 +94,55 @@ def test_bs_roundtrip_at_scale():
         save_npz(p, bs)
         bs3 = load_npz(p)
         assert blockset_hash(bs3) == blockset_hash(bs)
+
+
+def test_read_blockset_handwritten_with_comments():
+    """Reader robustness on a file we did not write ourselves: interleaved
+    '#' comments, multi-line wrapped sequences, reverse-strand fragment ids,
+    and a gapped block."""
+    import io as _io
+
+    text = """\
+# hand-written blockset
+# section: sequences
+>gA&chr1&l
+ACGTAC
+GTACGT
+# a comment inside the sequences section
+>gB&chr1&l
+ACGTACGTACGT
+
+# section: blocks
+>gA&chr1&l_0_3 block=b1
+ACGT
+>gB&chr1&l_3_0 block=b1
+ACGT
+# gapped block
+>gA&chr1&l_4_9 block=b2
+ACG-TAC
+>gB&chr1&l_4_10 block=b2
+ACGGTAC
+"""
+    bs = read_blockset(_io.StringIO(text))
+    assert len(bs.blocks) == 2
+    b1 = next(b for b in bs.blocks if b.name == "b1")
+    assert b1.alignment is None and b1.n_frags == 2
+    # reverse-strand id gB.._3_0 -> start 0, len 4, ori -1
+    rows = {tuple(b1.frags.row(i)) for i in range(2)}
+    assert (1, 0, 4, -1) in rows
+    b2 = next(b for b in bs.blocks if b.name == "b2")
+    assert b2.alignment is not None and b2.n_cols == 7
+
+
+def test_read_blockset_rejects_gapless_length_mismatch():
+    import io as _io
+    import pytest
+
+    text = """\
+>gA&chr1&l
+ACGTACGTACGT
+>gA&chr1&l_0_3 block=b1
+ACGTACGT
+"""
+    with pytest.raises(ValueError, match="length differs"):
+        read_blockset(_io.StringIO(text))

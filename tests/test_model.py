@@ -159,3 +159,16 @@ def test_naming(tiny_arena):
     assign_names(bs)
     names = sorted(b.name for b in bs.blocks)
     assert names == ["s2x8", "u1x2"]
+
+
+def test_blockset_hash_duplicates_not_cancelled(tiny_arena):
+    """Regression: an XOR fold cancels duplicate blocks ({A, A, B} == {B});
+    the sorted hash-of-hashes must distinguish multiplicity."""
+    a = Block(FragmentTable.from_rows([(0, 0, 8, 1), (1, 2, 8, 1)]))
+    a2 = Block(FragmentTable.from_rows([(0, 0, 8, 1), (1, 2, 8, 1)]))
+    b = Block(FragmentTable.from_rows([(0, 8, 2, 1)]))
+    bs_aab = BlockSet(tiny_arena, [a, a2, b])
+    bs_b = BlockSet(tiny_arena, [b])
+    bs_aab2 = BlockSet(tiny_arena, [a2, b, a])
+    assert blockset_hash(bs_aab) != blockset_hash(bs_b)
+    assert blockset_hash(bs_aab) == blockset_hash(bs_aab2)
