@@ -187,6 +187,9 @@ def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(540)
 
+    from npge_tpu.util.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     rng = np.random.default_rng(0)

@@ -20,7 +20,11 @@ from npge_tpu.model.arena import GenomeArena
 from npge_tpu.model.blocks import Block
 from npge_tpu.model.fragments import FragmentTable
 from npge_tpu.algo.anchors import AnchorGroups
-from npge_tpu.ops.extend import extend_groups, make_codes2_rows
+from npge_tpu.ops.extend import (
+    bases_for_groups,
+    extend_sides_fused,
+    make_codes2_rows,
+)
 
 # target element budget per (B, F, S) gather to bound device memory
 _ELEM_BUDGET = 1 << 26
@@ -104,6 +108,7 @@ def extend_anchor_groups(
     chunk = min(cfg.EXTEND_CHUNK, cfg.MAX_EXTEND)
     max_rounds = max(1, -(-cfg.MAX_EXTEND // chunk))
 
+    pending = []  # (batch_gids, el_dev, er_dev) — sync once at the end
     for fb in sorted({_bucket_f(int(s)) for s in sizes}):
         sel = gids[
             (sizes <= fb) & (sizes > (fb // 2 if fb > 2 else 1)) & ~bad_group
@@ -117,31 +122,42 @@ def extend_anchor_groups(
             Bp = b_cap  # fixed batch shape per F-bucket -> stable jit cache
             while Bp // 2 >= B and Bp > 256:
                 Bp //= 2
-            lo = np.zeros((Bp, fb), np.int32)
-            hi = np.zeros((Bp, fb), np.int32)
-            ori = np.ones((Bp, fb), np.int32)
+            # vectorized ragged->padded gather (slot j of group g reads
+            # occurrence offsets[g]+j, masked by group size)
+            occ0 = groups.offsets[batch]
+            nocc = groups.offsets[batch + 1] - occ0
+            slot = np.arange(fb)
+            oidx = occ0[:, None] + slot[None, :]
+            valid = slot[None, :] < nocc[:, None]
+            oidx = np.where(valid, oidx, 0)
+            lo = np.zeros((Bp, fb), np.int64)
+            hi = np.zeros((Bp, fb), np.int64)
+            ori = np.ones((Bp, fb), np.int64)
             fmask = np.zeros((Bp, fb), bool)
             cl = np.zeros((Bp, fb), np.int32)
             cr = np.zeros((Bp, fb), np.int32)
-            for bi, g in enumerate(batch):
-                a, b = groups.offsets[g], groups.offsets[g + 1]
-                n = b - a
-                lo[bi, :n] = groups.pos[a:b]
-                hi[bi, :n] = groups.pos[a:b] + k
-                ori[bi, :n] = groups.strand[a:b]
-                fmask[bi, :n] = True
-                cl[bi, :n] = np.minimum(cap_l[a:b], cfg.MAX_EXTEND)
-                cr[bi, :n] = np.minimum(cap_r[a:b], cfg.MAX_EXTEND)
-            el, er = extend_groups(
-                None,
-                lo, hi, ori, fmask, cl, cr,
-                num, den, chunk=chunk, max_rounds=max_rounds,
-                codes2_rows=codes2_rows, T=T,
+            lo[:B] = np.where(valid, groups.pos[oidx], 0)
+            hi[:B] = lo[:B] + k
+            ori[:B] = np.where(valid, groups.strand[oidx], 1)
+            fmask[:B] = valid
+            cl[:B] = np.where(
+                valid, np.minimum(cap_l[oidx], cfg.MAX_EXTEND), 0
             )
-            results_l[batch] = np.asarray(el)[:B]
-            results_r[batch] = np.asarray(er)[:B]
+            cr[:B] = np.where(
+                valid, np.minimum(cap_r[oidx], cfg.MAX_EXTEND), 0
+            )
+            base_l, base_r = bases_for_groups(lo, hi, ori, T)
+            el, er = extend_sides_fused(
+                codes2_rows, 2 * T, base_l, base_r, fmask, cl, cr,
+                num, den, chunk, max_rounds,
+            )
+            pending.append((batch, el, er))
             if timings is not None:
                 timings.count("extend_cells", 2 * Bp * fb * chunk)
+    for batch, el, er in pending:
+        B = len(batch)
+        results_l[batch] = np.asarray(el)[:B]
+        results_r[batch] = np.asarray(er)[:B]
 
     # build blocks
     blocks: list[Block] = []

@@ -196,6 +196,17 @@ def joinable_pairs(
             continue
         mid_stats = None
         if cfg is not None and n1 >= 2:
+            # assembly-gap guard: a gap containing N is unknown sequence —
+            # bridging it would assert homology across an assembly gap and
+            # produce all-N alignment columns (tests/test_fuzz.py). Such a
+            # pair is never joinable.
+            gaps = _gap_segments(
+                bs, bs.blocks[b1], bs.blocks[b2], pairing, flip1, flip2
+            )
+            if any((g >= 4).any() for g in gaps):
+                if rejected is not None:
+                    rejected.add(rkey)
+                continue
             if cache is not None:
                 ok, mg, mw = _join_good_incremental(
                     bs, bs.blocks[b1], bs.blocks[b2], pairing,

@@ -236,6 +236,9 @@ def cmd_report(args) -> None:
 
 
 def main(argv=None) -> None:
+    from npge_tpu.util.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="npge-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -44,18 +44,25 @@ def make_codes2(codes: jax.Array) -> jax.Array:
 _LANE = 128  # TPU lane width; row size of the 2-D arena view
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n) - 1).bit_length()
+
+
 @jax.jit
 def make_codes2_rows(codes: jax.Array) -> jax.Array:
     """Doubled arena reshaped to [N, 128] rows (padded with N=4 sentinel).
 
     The production extension path gathers whole 128-byte rows (efficient on
     TPU) instead of single bytes, then aligns windows in-register with a
-    log-step shift (see ``window_rows``). One extra all-sentinel row is
-    appended so a window's trailing row read never needs clamping logic that
-    could alias real data.
+    log-step shift (see ``window_rows``). At least one extra all-sentinel row
+    is appended so a window's trailing row read never needs clamping logic
+    that could alias real data; the row count is rounded up to a power of two
+    so consensus arenas of nearby sizes reuse one compiled extension kernel
+    (SURVEY §7 hard part 3: recompilation pressure in the fixed-point loop).
     """
     codes2 = make_codes2(codes)
-    pad = (-codes2.shape[0]) % _LANE + _LANE
+    rows = _next_pow2(codes2.shape[0] // _LANE + 2)
+    pad = rows * _LANE - codes2.shape[0]
     return jnp.pad(codes2, (0, pad), constant_values=4).reshape(-1, _LANE)
 
 
@@ -155,10 +162,10 @@ def extend_chunk(
     )
 
 
-@partial(jax.jit, static_argnames=("chunk", "T2"))
+@partial(jax.jit, static_argnames=("chunk",))
 def extend_chunk_rows(
     codes2_rows: jax.Array,  # uint8[N, 128] doubled arena, row view
-    T2: int,                 # true (unpadded) doubled-arena length
+    T2,                      # true (unpadded) doubled-arena length (traced)
     base: jax.Array,
     fmask: jax.Array,
     cap: jax.Array,
@@ -181,6 +188,76 @@ def extend_chunk_rows(
     return _extend_core(
         ch, within, fmask, carry_len, carry_ident, ident_num, ident_den
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ident_num", "ident_den", "chunk", "max_rounds"),
+)
+def extend_rounds_rows(
+    codes2_rows: jax.Array,
+    T2,
+    base: jax.Array,      # int32[B, F]
+    fmask: jax.Array,     # bool[B, F]
+    cap: jax.Array,       # int32[B, F]
+    ident_num: int,
+    ident_den: int,
+    chunk: int,
+    max_rounds: int,
+):
+    """All extension rounds fused into ONE device dispatch.
+
+    Semantically identical to the host loop in :func:`extend_side` (tests
+    assert it): after each chunk, groups that did not consume the full chunk
+    are frozen (cap -> 0) so results never depend on other groups in the
+    batch triggering more rounds (batch-composition determinism, SURVEY §7
+    hard part 4). A ``lax.while_loop`` exits early once every group froze —
+    no per-round host sync, no per-round dispatch latency.
+    """
+    B = base.shape[0]
+    z = jnp.zeros(B, jnp.int32)
+
+    def cond(state):
+        r, *_rest, cont = state
+        return cont & (r < max_rounds)
+
+    def body(state):
+        r, base, cap, cl, ci, total, _ = state
+        ext, cl, ci = extend_chunk_rows(
+            codes2_rows, T2, base, fmask, cap, cl, ci,
+            ident_num, ident_den, chunk,
+        )
+        active = ext == chunk
+        base = base + ext[:, None]
+        cap = jnp.where(
+            active[:, None], jnp.maximum(cap - ext[:, None], 0), 0
+        )
+        return (r + 1, base, cap, cl, ci, total + ext, active.any())
+
+    state = (jnp.int32(0), base, cap, z, z, z, jnp.bool_(True))
+    state = jax.lax.while_loop(cond, body, state)
+    return state[5]
+
+
+def extend_sides_fused(
+    codes2_rows, T2, base_l, base_r, fmask, cap_l, cap_r,
+    ident_num: int, ident_den: int, chunk: int, max_rounds: int,
+):
+    """Both sides of every group in a single device dispatch.
+
+    Stacks left/right along the batch axis (they are independent problems)
+    and runs :func:`extend_rounds_rows` once. Returns device arrays
+    (ext_left[B], ext_right[B]) — callers may defer the host sync."""
+    base = jnp.concatenate([jnp.asarray(base_l), jnp.asarray(base_r)])
+    cap = jnp.concatenate([jnp.asarray(cap_l), jnp.asarray(cap_r)])
+    fm = jnp.asarray(fmask)
+    fm2 = jnp.concatenate([fm, fm])
+    B = base_l.shape[0]
+    total = extend_rounds_rows(
+        codes2_rows, T2, base, fm2, cap, ident_num, ident_den,
+        chunk, max_rounds,
+    )
+    return total[:B], total[B:]
 
 
 def extend_side(

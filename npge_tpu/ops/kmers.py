@@ -149,6 +149,21 @@ def minimizer_mask(canon_hi, canon_lo, valid, w: int):
     return valid & (mh == h) & (ml == l)
 
 
+@partial(jax.jit, static_argnames=("k", "w"))
+def _scan_select(codes, seq_id_of, k: int, w: int):
+    """Fused scan + minimizer selection; returns device arrays
+    (canon_hi, canon_lo, strand, packed selection bits). Keys stay on
+    device — only the bit mask (T/8 bytes) crosses to the host."""
+    canon_hi, canon_lo, strand, valid = kmer_scan(codes, seq_id_of, k)
+    sel = minimizer_mask(canon_hi, canon_lo, valid, w) & (strand != 0)
+    return canon_hi, canon_lo, strand, jnp.packbits(sel)
+
+
+@jax.jit
+def _gather_rows(canon_hi, canon_lo, strand, idx):
+    return canon_hi[idx], canon_lo[idx], strand[idx]
+
+
 @jax.jit
 def sort_selected(canon_hi, canon_lo, positions, strand):
     """Sort candidate occurrences by (key_hi, key_lo, position).
@@ -172,14 +187,27 @@ def find_anchor_occurrences(
 
     Returns host numpy arrays (key_hi, key_lo, pos, strand), sorted by key
     then position, one row per sampled valid non-palindromic occurrence.
+
+    Inputs are padded to a power-of-2 length (N sentinel / seq_id -1) before
+    the scan so consensus arenas of nearby sizes hit one compiled scan
+    (SURVEY §7 hard part 3); padded positions can never be valid (they scan
+    as N windows).
     """
-    canon_hi, canon_lo, strand, valid = kmer_scan(codes, seq_id_of, k)
-    sel = minimizer_mask(canon_hi, canon_lo, valid, w) & (strand != 0)
-    # compact on host (result size is data-dependent; boolean pull is cheap)
-    sel_np = np.asarray(sel)
+    T = int(codes.shape[0])
+    Tp = 1 << max(0, T - 1).bit_length()
+    if Tp != T:
+        codes = jnp.pad(codes, (0, Tp - T), constant_values=4)
+        seq_id_of = jnp.pad(seq_id_of, (0, Tp - T), constant_values=-1)
+    canon_hi, canon_lo, strand, bits = _scan_select(codes, seq_id_of, k, w)
+    # compact via the packed bit mask (Tp/8 bytes host transfer), then gather
+    # the selected rows ON DEVICE — only compact arrays cross the link
+    # (the full per-position key arrays are ~9 bytes/position; at arena
+    # scale that transfer, not the scan, dominated the anchors stage)
+    sel_np = np.unpackbits(np.asarray(bits), count=Tp).astype(bool)
     idx = np.flatnonzero(sel_np).astype(np.int64)
-    h = np.asarray(canon_hi)[idx]
-    l = np.asarray(canon_lo)[idx]
-    s = np.asarray(strand)[idx]
+    h, l, s = (
+        np.asarray(x)
+        for x in _gather_rows(canon_hi, canon_lo, strand, jnp.asarray(idx))
+    )
     order = np.lexsort((idx, l, h))
     return h[order], l[order], idx[order], s[order]

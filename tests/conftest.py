@@ -18,3 +18,7 @@ if "--xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from npge_tpu.util.jaxcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

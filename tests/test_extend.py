@@ -164,3 +164,47 @@ def test_rows_path_matches_byte_gather_oracle():
         )
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fused_rounds_match_host_loop():
+    """extend_sides_fused (single-dispatch lax.while_loop) must be
+    bit-identical to the host-looped extend_side oracle, including the
+    freeze-on-partial-chunk rule and early exit."""
+    from npge_tpu.ops.extend import (
+        bases_for_groups, extend_side, extend_sides_fused,
+        make_codes2, make_codes2_rows,
+    )
+
+    rng = np.random.default_rng(21)
+    T = 6000
+    codes = rng.integers(0, 4, T).astype(np.uint8)
+    codes[3000:3800] = codes[200:1000]  # long planted repeat spanning chunks
+    codes_j = jnp.asarray(codes)
+    codes2 = make_codes2(codes_j)
+    rows = make_codes2_rows(codes_j)
+    B, F, chunk, max_rounds = 12, 2, 128, 6
+    lo = rng.integers(100, T - 1500, (B, F)).astype(np.int64)
+    lo[0] = [250, 3050]  # inside the planted repeat -> multi-round extension
+    hi = lo + 15
+    ori = np.where(rng.random((B, F)) < 0.5, -1, 1).astype(np.int64)
+    ori[0] = 1
+    fmask = np.ones((B, F), bool)
+    cl = rng.integers(0, 700, (B, F)).astype(np.int32)
+    cr = rng.integers(0, 700, (B, F)).astype(np.int32)
+    cr[0] = 700  # group 0 must be free to extend through multiple chunks
+    base_l, base_r = bases_for_groups(lo, hi, ori, T)
+    el_f, er_f = extend_sides_fused(
+        rows, 2 * T, base_l, base_r, fmask, cl, cr, 9, 10, chunk, max_rounds
+    )
+    el_h = extend_side(
+        codes2, jnp.asarray(base_l), jnp.asarray(fmask), cl, 9, 10,
+        chunk, max_rounds,
+    )
+    er_h = extend_side(
+        codes2, jnp.asarray(base_r), jnp.asarray(fmask), cr, 9, 10,
+        chunk, max_rounds,
+    )
+    np.testing.assert_array_equal(np.asarray(el_f), np.asarray(el_h))
+    np.testing.assert_array_equal(np.asarray(er_f), np.asarray(er_h))
+    # at least one group must actually have needed multiple rounds
+    assert int(np.asarray(er_f)[0]) > chunk
