@@ -1,0 +1,309 @@
+"""Gapped flank extension — grow admitted blocks through indels.
+
+Equivalent of the reference's gapped ``FragmentsExtender`` semantics
+(``src/algo/FragmentsExtender.cpp`` ⚠[B], SURVEY.md §2.3): extend every
+block's fragments by a bounded flank window, re-align the extended flanks,
+and trim back to the last good column, so homology containing indels joins
+the block instead of stopping it (the gapless lockstep extender stops at the
+first frame shift).
+
+TPU-native decomposition (instead of the reference's per-block host DP):
+
+  1. Flank *endpoints* for all (block, side, fragment) pairs are computed by
+     ONE batched banded-SW x-drop pass on device (ops/sw.py — THE kernel;
+     bit-identical NumPy mirror on the CPU backend), pairing each fragment's
+     flank against the block's representative (fragment 0) flank.
+  2. The lockstep advance A of the representative is min over fragments of
+     the query endpoint.  Only pairs that actually extend pay for step 3.
+  3. Per accepted pair, a small host NW (vectorized rows, fixed query A,
+     free target end) recovers the alignment path; paths merge into one
+     flank MSA by center-star on the representative's positions.
+  4. The MSA is trimmed to the last column that keeps the whole block good:
+     column good (identical+gapless), cumulative identity >= MIN_IDENTITY,
+     and the trailing MIN_END window all-good.
+
+Runs AFTER overlap resolution on the admitted (non-overlapping) blocks, with
+per-fragment room taken from the shared FragmentIndex (model/fragindex.py) —
+shared gaps are split deterministically so extensions can never collide, and
+the partition invariant is preserved by construction.
+
+Side geometry rides the doubled rc-arena (ops/extend.py codes2): every
+flank, both sides, both orientations, is a contiguous ascending read; left-
+side reads come out complemented uniformly across fragments, which is
+harmless for alignment (equality is complement-invariant) and undone at
+splice time (reverse columns + complement codes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from npge_tpu.config import Config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.fragindex import FragmentIndex
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.model.stats import column_classes
+from npge_tpu.util import codes as C
+
+
+def host_codes2(arena: GenomeArena) -> np.ndarray:
+    """Host copy of the doubled rc-arena (codes ++ revcomp(codes)), cached
+    on the arena object (arenas are immutable)."""
+    c2 = getattr(arena, "_codes2_host", None)
+    if c2 is None:
+        codes = arena.codes
+        comp = np.where(codes < 4, 3 - codes, codes).astype(np.uint8)
+        c2 = np.concatenate([codes, comp[::-1]])
+        arena._codes2_host = c2
+    return c2
+
+
+def _side_bases(frags: FragmentTable, arena: GenomeArena):
+    """(base_left, base_right) int64 per fragment — forward-window bases into
+    codes2 (same convention as ops.extend.bases_for_groups)."""
+    T = arena.total_length
+    lo = arena.offsets[frags.seq_id] + frags.start.astype(np.int64)
+    hi = lo + frags.length
+    ori = frags.ori.astype(np.int64)
+    base_r = np.where(ori == 1, hi, 2 * T - lo)
+    base_l = np.where(ori == 1, 2 * T - lo, hi)
+    return base_l, base_r
+
+
+def _nw_fixed_query(q: np.ndarray, t: np.ndarray, match: int, mismatch: int,
+                    gap: int):
+    """Global-extension NW of the full query against a free-ended target.
+
+    Returns (aligned, ins) where aligned[a] is the target code matched to
+    query char a (or -1 for a deletion column) and ins[a] is the array of
+    target codes inserted immediately BEFORE query char a. Trailing target
+    insertions are not consumed. Vectorized by rows (the left dependency is a
+    running max via the classic x[j] = H[i,j] - gap*j transform);
+    deterministic tie-breaks: smallest target end, diag > up > left."""
+    A, Tt = len(q), len(t)
+    jj = np.arange(Tt + 1, dtype=np.int64)
+    H = np.empty((A + 1, Tt + 1), np.int64)
+    H[0] = gap * jj
+    for i in range(1, A + 1):
+        # N (code >= 4) never matches anything, including N
+        sub = np.where((t == q[i - 1]) & (q[i - 1] < 4), match, mismatch)
+        tmp = np.maximum(H[i - 1, :-1] + sub, H[i - 1, 1:] + gap)
+        y = np.concatenate([[H[i - 1, 0] + gap], tmp]) - gap * jj
+        H[i] = np.maximum.accumulate(y) + gap * jj
+    j = int(np.argmax(H[A]))  # smallest j on ties
+    aligned = np.full(A, -1, np.int16)
+    ins: list[list[int]] = [[] for _ in range(A + 1)]
+    i = A
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and H[i, j] == H[i - 1, j - 1] + (
+            match if (t[j - 1] == q[i - 1] and q[i - 1] < 4) else mismatch
+        ):
+            aligned[i - 1] = t[j - 1]
+            i -= 1
+            j -= 1
+        elif i > 0 and H[i, j] == H[i - 1, j] + gap:
+            i -= 1
+        else:
+            ins[i].append(int(t[j - 1]))
+            j -= 1
+    return aligned, [np.array(x[::-1], np.uint8) for x in ins]
+
+
+def _merge_center_star(q: np.ndarray, results: list) -> np.ndarray:
+    """MSA columns [F, C] from per-fragment (aligned, ins) paths against the
+    shared representative q (row 0). Insertion slots between representative
+    positions are sized by the max insertion run; runs are left-aligned."""
+    A = len(q)
+    Fm1 = len(results)
+    n_ins = np.zeros(A + 1, np.int64)
+    for aligned, ins in results:
+        for a in range(A):  # trailing (slot A) insertions are dropped
+            n_ins[a] = max(n_ins[a], len(ins[a]))
+    Ccols = A + int(n_ins[:A].sum())
+    cols = np.full((Fm1 + 1, Ccols), C.GAP, np.uint8)
+    # representative row + column owner map
+    is_match = np.zeros(Ccols, bool)
+    col = 0
+    match_col = np.empty(A, np.int64)
+    ins_col0 = np.empty(A, np.int64)
+    for a in range(A):
+        ins_col0[a] = col
+        col += int(n_ins[a])
+        match_col[a] = col
+        cols[0, col] = q[a]
+        col += 1
+    for fi, (aligned, ins) in enumerate(results, start=1):
+        has = aligned >= 0
+        cols[fi, match_col[has]] = aligned[has].astype(np.uint8)
+        for a in range(A):
+            run = ins[a]
+            if len(run):
+                c0 = int(ins_col0[a])
+                cols[fi, c0 : c0 + len(run)] = run
+    return cols
+
+
+def _trim_good(cols: np.ndarray, good0: int, total0: int, cfg: Config) -> int:
+    """Largest c such that columns [0, c) keep the extended block good:
+    column c-1 good, trailing min(c, MIN_END) columns all good, and
+    (good0 + good_in_ext) / (total0 + c) >= MIN_IDENTITY. Returns 0 when no
+    prefix qualifies."""
+    ident, gapless = column_classes(cols)
+    good = ident & gapless
+    n = len(good)
+    if n == 0:
+        return 0
+    m = cfg.MIN_END
+    cum = np.cumsum(good.astype(np.int64))
+    # ok_tail[c-1]: the last min(c, m) columns of the prefix are all good
+    bad_cum = np.cumsum((~good).astype(np.int64))
+    c_arr = np.arange(1, n + 1)
+    w = np.minimum(c_arr, m)
+    bad_in_tail = bad_cum - np.where(
+        c_arr - w > 0, bad_cum[c_arr - w - 1], 0
+    )
+    ok_tail = bad_in_tail == 0
+    num, den = cfg.MIN_IDENTITY.num, cfg.MIN_IDENTITY.den
+    ident_ok = (good0 + cum) * den >= num * (total0 + c_arr)
+    ok = good & ok_tail & ident_ok
+    hits = np.flatnonzero(ok)
+    return int(hits[-1]) + 1 if len(hits) else 0
+
+
+def _apply_side(
+    b: Block, arena: GenomeArena, cols: np.ndarray, side: str
+) -> Block:
+    """Splice accepted extension columns into the block on one side.
+    ``cols`` are in side-local space (ascending = outward); the left side is
+    reversed + complemented back into block column space."""
+    consumed = (cols != C.GAP).sum(axis=1).astype(np.int64)
+    f = b.frags
+    ori = f.ori.astype(np.int64)
+    if side == "R":
+        new_start = np.where(ori == 1, f.start, f.start - consumed)
+        block_cols = cols
+    else:
+        new_start = np.where(ori == 1, f.start - consumed, f.start)
+        block_cols = C.COMPLEMENT[cols][:, ::-1]
+    new_len = f.length + consumed
+    nf = FragmentTable(
+        f.seq_id, new_start.astype(np.int32), new_len.astype(np.int32), f.ori
+    )
+    gapless_ext = not (block_cols == C.GAP).any()
+    if b.is_gapless and gapless_ext:
+        return Block(nf, None)
+    rows = b.rows(arena)
+    aln = (
+        np.concatenate([rows, block_cols], axis=1)
+        if side == "R"
+        else np.concatenate([block_cols, rows], axis=1)
+    )
+    return Block(nf, aln)
+
+
+def gapped_extend_blocks(bs: BlockSet, cfg: Config, timings=None) -> int:
+    """Extend every multi-fragment block through its free flank room on both
+    sides (gapped). Mutates ``bs.blocks`` in place; returns the number of
+    side-extensions applied. Deterministic; preserves non-overlap (rooms are
+    pre-split per FragmentIndex) and block goodness (trim rule)."""
+    from npge_tpu.ops.sw import sw_extend_auto
+
+    arena = bs.arena
+    blocks = bs.blocks
+    multi = [i for i, b in enumerate(blocks) if b.n_frags >= 2]
+    if not multi:
+        return 0
+    idx = FragmentIndex(arena, blocks)
+    rr, rf = idx.per_block_rooms()
+    codes2 = host_codes2(arena)
+    FL = cfg.GAPPED_FLANK
+    min_room = cfg.MIN_GAPPED_ROOM
+    sw = dict(
+        match=cfg.SW_MATCH, mismatch=cfg.SW_MISMATCH, gap=cfg.SW_GAP,
+        xdrop=cfg.SW_XDROP,
+    )
+
+    # ---- assemble jobs: one per (block, side) with every fragment roomy ----
+    jobs = []  # (bi, side, caps[F] int64, bases[F] int64)
+    for bi in multi:
+        b = blocks[bi]
+        base_l, base_r = _side_bases(b.frags, arena)
+        ori = b.frags.ori.astype(np.int64)
+        room_rev = rr[bi]
+        room_fwd = rf[bi]
+        cap_r = np.where(ori == 1, room_fwd, room_rev)
+        cap_l = np.where(ori == 1, room_rev, room_fwd)
+        for side, base, cap in (("L", base_l, cap_l), ("R", base_r, cap_r)):
+            cap = np.minimum(cap, FL)
+            if cap.min() >= min_room:
+                jobs.append((bi, side, cap, base))
+    if not jobs:
+        return 0
+
+    # ---- one batched device pass for all flank-pair endpoints ----
+    def flank(base, cap):
+        return codes2[base : base + cap]
+
+    def _sent(w, code):  # N sentinel for the equality-only SW kernel
+        return np.where(w >= 4, np.uint8(code), w)
+
+    qs, ts, owner = [], [], []
+    for j, (bi, side, cap, base) in enumerate(jobs):
+        q = _sent(flank(int(base[0]), int(cap[0])), 250)
+        for fi in range(1, len(cap)):
+            qs.append(q)
+            # target N-codes get a different sentinel than query N-codes
+            ts.append(_sent(flank(int(base[fi]), int(cap[fi])), 251))
+            owner.append(j)
+    ends = sw_extend_auto(qs, ts, L=FL, **sw)
+    if timings is not None:
+        timings.count("gapext_pairs", len(qs))
+
+    # ---- lockstep advance per job ----
+    adv = np.full(len(jobs), np.int64(1) << 40)
+    for p, j in enumerate(owner):
+        adv[j] = min(adv[j], int(ends[p, 1]))
+
+    # ---- per-job path recovery, merge, trim, splice ----
+    stats_cache: dict[int, tuple[int, int]] = {}
+
+    def block_stats(bi: int) -> tuple[int, int]:
+        st = stats_cache.get(bi)
+        if st is None:
+            ident, gapless = column_classes(blocks[bi].rows(arena))
+            st = (int((ident & gapless).sum()), blocks[bi].n_cols)
+            stats_cache[bi] = st
+        return st
+
+    applied = 0
+    for j, (bi, side, cap, base) in enumerate(jobs):
+        F = len(cap)
+        A = int(adv[j])
+        if A <= 0:
+            continue
+        q = flank(int(base[0]), A)
+        results = []
+        for fi in range(1, F):
+            # target window: lockstep advance plus bounded indel slack (the
+            # x-drop prefilter tolerates at most ~xdrop/|gap| net indels)
+            tcap = int(min(cap[fi], A + cfg.SW_XDROP))
+            t = flank(int(base[fi]), max(tcap, 0))
+            results.append(
+                _nw_fixed_query(
+                    q, t, cfg.SW_MATCH, cfg.SW_MISMATCH, cfg.SW_GAP
+                )
+            )
+        cols = _merge_center_star(q, results)
+        good0, total0 = block_stats(bi)
+        c = _trim_good(cols, good0, total0, cfg)
+        if c == 0:
+            continue
+        cols = cols[:, :c]
+        ident, gapless = column_classes(cols)
+        blocks[bi] = _apply_side(blocks[bi], arena, cols, side)
+        stats_cache[bi] = (
+            good0 + int((ident & gapless).sum()), total0 + c
+        )
+        applied += 1
+    return applied

@@ -108,6 +108,16 @@ def build_pangenome(
     t.add("join", time.perf_counter() - t0)
     log(f"join: {n_joins} merges -> {len(bs.blocks)} blocks")
 
+    if cfg.GAPPED_EXTEND:
+        from npge_tpu.algo.gapext import gapped_extend_blocks
+
+        t0 = time.perf_counter()
+        n_ext = gapped_extend_blocks(bs, cfg, timings=t)
+        if n_ext:
+            join_blocks(bs, cfg)
+        t.add("gapext", time.perf_counter() - t0)
+        log(f"gapext: {n_ext} side-extensions -> {len(bs.blocks)} blocks")
+
     # ---- consensus re-seed fixed-point loop (replaces BLAST loop) ----
     from npge_tpu.algo.surgery import quality_metric
 
@@ -144,6 +154,11 @@ def build_pangenome(
         )
         bs = BlockSet(arena, accepted)
         join_blocks(bs, cfg)
+        if cfg.GAPPED_EXTEND:
+            from npge_tpu.algo.gapext import gapped_extend_blocks
+
+            if gapped_extend_blocks(bs, cfg, timings=t):
+                join_blocks(bs, cfg)
         t.add("resolve", time.perf_counter() - t0)
         metric = quality_metric(bs)
         log(

@@ -254,6 +254,89 @@ def sw_extend(q_list, t_list, L=None, **kw):
     return np.asarray(out)[: len(q_list)]
 
 
+def sw_extend_numpy(q_list, t_list, L=None, W=128, match=1, mismatch=-2,
+                    gap=-3, xdrop=64):
+    """Vectorized NumPy mirror of the Pallas kernel — same band schedule,
+    same x-drop pruning, same endpoint tie-breaks — for hosts without the
+    TPU (test/CPU backend). Returns int32[B, 3] (best, best_i, best_j),
+    bit-identical to ``sw_extend`` (tests assert it)."""
+    if L is None:
+        L = max(max((len(q) for q in q_list), default=1),
+                max((len(t) for t in t_list), default=1))
+        L = max(1, -(-L // 128) * 128)
+    B = len(q_list)
+    qp = np.full((B, L + 2 * W), 254, np.int32)
+    trp = np.full((B, L + 2 * W), 255, np.int32)
+    qlen = np.zeros((B, 1), np.int32)
+    tlen = np.zeros((B, 1), np.int32)
+    for b, (q, t) in enumerate(zip(q_list, t_list)):
+        q = np.asarray(q, np.int32)[:L]
+        t = np.asarray(t, np.int32)[:L]
+        qlen[b, 0] = len(q)
+        tlen[b, 0] = len(t)
+        qp[b, W : W + len(q)] = q
+        trp[b, W + 1 + L - len(t) : W + 1 + L] = t[::-1]
+    band = np.arange(W, dtype=np.int32)[None, :]
+    prev2 = np.where(band == W // 2, 0, NEG).astype(np.int64)
+    prev2 = np.broadcast_to(prev2, (B, W)).copy()
+    i1 = (1 - W // 2) + band
+    j1 = 1 - i1
+    ok1 = ((i1 == 1) & (j1 == 0) & (qlen >= 1)) | (
+        (i1 == 0) & (j1 == 1) & (tlen >= 1)
+    )
+    prev = np.where(ok1, gap, NEG).astype(np.int64)
+    best = np.maximum(0, prev.max(axis=1, keepdims=True))
+    bi = np.zeros((B, 1), np.int64)
+    bj = np.zeros((B, 1), np.int64)
+    for d in range(2, 2 * L + 1):
+        ib = (d + 1) // 2 - W // 2
+        i = ib + band
+        j = d - i
+        qs = qp[:, np.clip(W + ib - 1 + band, 0, qp.shape[1] - 1)[0]]
+        ts = trp[:, np.clip(W + 1 + L - d + ib + band, 0, trp.shape[1] - 1)[0]]
+        sub = np.where(qs == ts, match, mismatch)
+        if d % 2 == 0:
+            up = np.concatenate([np.full((B, 1), NEG), prev[:, :-1]], axis=1)
+            left = prev
+        else:
+            up = prev
+            left = np.concatenate([prev[:, 1:], np.full((B, 1), NEG)], axis=1)
+        inside = (i <= qlen) & (j <= tlen)
+        s = np.maximum(
+            np.where((i >= 1) & (j >= 1) & inside, prev2 + sub, NEG),
+            np.maximum(
+                np.where((i >= 1) & inside & (j >= 0), up + gap, NEG),
+                np.where((j >= 1) & inside & (i >= 0), left + gap, NEG),
+            ),
+        )
+        s = np.where(s < best - xdrop, NEG, s)
+        col_best = s.max(axis=1, keepdims=True)
+        improved = col_best > best
+        first_r = np.where(s == col_best, band, W).min(axis=1, keepdims=True)
+        ii = ib + first_r
+        jj = d - ii
+        bi = np.where(improved, ii, bi)
+        bj = np.where(improved, jj, bj)
+        best = np.maximum(best, col_best)
+        prev2, prev = prev, s
+    return np.concatenate([best, bi, bj], axis=1).astype(np.int32)
+
+
+def sw_extend_auto(q_list, t_list, **kw):
+    """Batched x-drop extension endpoints via the Pallas kernel on TPU, or
+    the bit-identical NumPy mirror elsewhere. Returns int32[B, 3]."""
+    import jax
+
+    if not q_list:
+        return np.zeros((0, 3), np.int32)
+    # the TPU backend registers as "tpu" (or "axon" behind this machine's
+    # tunnel); everything else takes the NumPy mirror
+    if jax.default_backend() != "cpu":
+        return sw_extend(q_list, t_list, **kw)
+    kw.pop("TB", None)
+    return sw_extend_numpy(q_list, t_list, **kw)
+
+
 def sw_extend_reference(q, t, match=1, mismatch=-2, gap=-3, xdrop=64):
     """Unbanded NumPy oracle of the same x-drop recurrence (for tests).
 
