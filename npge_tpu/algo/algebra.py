@@ -11,7 +11,13 @@ from __future__ import annotations
 import numpy as np
 
 from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.fragments import frag_spans
 from npge_tpu.model.naming import block_type
+
+
+def _spans(bs: BlockSet, b: Block, fi: int):
+    s, st, ln, _ = b.frags.row(fi)
+    return s, frag_spans(st, ln, bs.arena.seq_len(s))
 
 
 def union(target: BlockSet, other: BlockSet) -> BlockSet:
@@ -32,8 +38,9 @@ def _occ_of(bs: BlockSet) -> list[np.ndarray]:
     ]
     for b in bs.blocks:
         for fi in range(b.n_frags):
-            s, st, ln, _ = b.frags.row(fi)
-            occ[s][st : st + ln] = True
+            s, spans = _spans(bs, b, fi)
+            for a0, a1 in spans:
+                occ[s][a0:a1] = True
     return occ
 
 
@@ -45,8 +52,8 @@ def subtract(target: BlockSet, other: BlockSet) -> BlockSet:
     for b in target.blocks:
         hit = False
         for fi in range(b.n_frags):
-            s, st, ln, _ = b.frags.row(fi)
-            if occ[s][st : st + ln].any():
+            s, spans = _spans(target, b, fi)
+            if any(occ[s][a0:a1].any() for a0, a1 in spans):
                 hit = True
                 break
         if not hit:
@@ -62,16 +69,17 @@ def one_by_one(target: BlockSet, other: BlockSet) -> BlockSet:
     for b in other.blocks:
         conflict = False
         for fi in range(b.n_frags):
-            s, st, ln, _ = b.frags.row(fi)
-            if occ[s][st : st + ln].any():
+            s, spans = _spans(target, b, fi)
+            if any(occ[s][a0:a1].any() for a0, a1 in spans):
                 conflict = True
                 break
         if conflict:
             continue
         out.append(b)
         for fi in range(b.n_frags):
-            s, st, ln, _ = b.frags.row(fi)
-            occ[s][st : st + ln] = True
+            s, spans = _spans(target, b, fi)
+            for a0, a1 in spans:
+                occ[s][a0:a1] = True
     return BlockSet(target.arena, out)
 
 

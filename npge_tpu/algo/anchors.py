@@ -106,6 +106,57 @@ def dedupe_parallel_groups(
     )
 
 
+def _cyclic_scan(arena: GenomeArena, k: int, w: int):
+    """Anchor occurrences with a cyclic halo on circular sequences.
+
+    Each circular sequence of length >= k gets its first k+w-2 bases appended
+    (same seq_id), so (a) k-mer windows crossing the origin exist and (b)
+    minimizer selection near the origin sees the same cyclic windows it would
+    after any rotation. Scanned occurrences map back to original coordinates;
+    halo duplicates are deduped; windows that would wrap the origin are
+    dropped (their fragments would be wrap fragments at birth, which the
+    extender cannot grow — origin *joins* heal the origin instead; see
+    algo/joiner). SURVEY §2.1 Sequence circularity [A]."""
+    halos = np.array(
+        [
+            min(k + w - 2, arena.seq_len(i))
+            if (arena.circular(i) and arena.seq_len(i) >= k)
+            else 0
+            for i in range(arena.n_seqs)
+        ],
+        np.int64,
+    )
+    parts = []
+    sid_parts = []
+    eoff = np.zeros(arena.n_seqs + 1, np.int64)
+    for i in range(arena.n_seqs):
+        s = arena.seq_codes(i)
+        seg = np.concatenate([s, s[: halos[i]]]) if halos[i] else s
+        parts.append(seg)
+        sid_parts.append(np.full(len(seg), i, np.int32))
+        eoff[i + 1] = eoff[i] + len(seg)
+    codes_ext = np.concatenate(parts)
+    sid_ext = np.concatenate(sid_parts)
+    h, l, pos, strand = find_anchor_occurrences(
+        jnp.asarray(codes_ext), jnp.asarray(sid_ext), k, w
+    )
+    seq = np.searchsorted(eoff, pos, side="right") - 1
+    lens = (arena.offsets[seq + 1] - arena.offsets[seq]).astype(np.int64)
+    local = pos - eoff[seq]
+    local = np.where(local >= lens, local - lens, local)
+    keep = local + k <= lens  # drop origin-wrapping windows
+    seq, local = seq[keep], local[keep]
+    h, l, strand = h[keep], l[keep], strand[keep]
+    pos = arena.offsets[seq] + local
+    order = np.lexsort((pos, l, h))
+    h, l, pos, strand = h[order], l[order], pos[order], strand[order]
+    if len(h):  # dedupe halo copies of the same (key, position)
+        uniq = np.ones(len(h), bool)
+        uniq[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1]) | (pos[1:] != pos[:-1])
+        h, l, pos, strand = h[uniq], l[uniq], pos[uniq], strand[uniq]
+    return h, l, pos, strand
+
+
 def find_anchors(
     arena: GenomeArena,
     cfg: Config,
@@ -116,9 +167,16 @@ def find_anchors(
     """Find anchor groups over the whole arena.
 
     codes_dev/seq_id_dev may be passed to reuse device-resident arrays
-    across pipeline stages.
-    """
+    across pipeline stages (linear-only arenas; arenas with circular
+    sequences take the cyclic-halo scan)."""
     k = k or cfg.ANCHOR_SIZE
+    w = cfg.MINIMIZER_WINDOW
+    if any(
+        arena.circular(i) and arena.seq_len(i) >= k
+        for i in range(arena.n_seqs)
+    ):
+        h, l, pos, strand = _cyclic_scan(arena, k, w)
+        return form_groups(h, l, pos, strand, arena, cfg, k)
     if codes_dev is None:
         codes_dev = jnp.asarray(arena.codes)
     if seq_id_dev is None:

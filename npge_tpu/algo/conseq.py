@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from npge_tpu.model.arena import GenomeArena
-from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.blocks import Block, BlockSet, normalize_wrap_starts
 from npge_tpu.model.fragments import FragmentTable
 
 
@@ -89,6 +89,12 @@ def _deconseq_fast(
     out_start = np.where(
         fo == 1, s_start[sfi] + c0, s_start[sfi] + s_len[sfi] - c1
     )
+    # wrap sources (start+length > seq_len, circular) can push derived
+    # starts past the origin; renormalize into [0, seq_len)
+    seq_lens = (
+        bs.arena.offsets[out_seq + 1] - bs.arena.offsets[out_seq]
+    ).astype(np.int64)
+    out_start = np.where(out_start >= seq_lens, out_start - seq_lens, out_start)
     out_len = c1 - c0
     out_ori = (fo * np.where(o[rep] == -1, -1, 1)).astype(np.int32)
     out_cid = cid[rep]
@@ -141,6 +147,7 @@ def _deconseq_general(
             if piece is None:
                 ok = False
                 break
+            piece = normalize_wrap_starts(piece, bs.arena)
             if o == -1:
                 piece = piece.inverse()
             pieces.append(piece)

@@ -19,7 +19,7 @@ import numpy as np
 
 from npge_tpu.config import Config
 from npge_tpu.model.arena import GenomeArena
-from npge_tpu.model.blocks import Block
+from npge_tpu.model.blocks import Block, normalize_wrap_starts
 from npge_tpu.model.stats import column_classes, is_good_block
 
 
@@ -82,7 +82,7 @@ def filter_block(block: Block, arena: GenomeArena, cfg: Config) -> Block | None:
     sl = best_good_slice(ident & gapless, cfg)
     if sl is None:
         return None
-    return block.slice(*sl)
+    return normalize_wrap_starts(block.slice(*sl), arena)
 
 
 def filter_blocks(blocks: list[Block], arena: GenomeArena, cfg: Config) -> list[Block]:

@@ -31,10 +31,14 @@ from npge_tpu.util import codes as C
 
 
 def _adjacency_links(bs: BlockSet, max_gap: int):
-    """Yield (bi, fi, bj, fj, flip) for fragment pairs of different blocks
-    that are consecutive on a sequence (nothing between) and separated by a
-    gap in [0, max_gap]. (bi, fi) precedes (bj, fj) in block i's COLUMN
-    space; flip means block j must be inverted before concatenation.
+    """Yield (bi, fi, bj, fj, flip_i, flip_j, wrap) for fragment pairs of
+    different blocks that are consecutive on a sequence (nothing between)
+    and separated by a gap in [0, max_gap]. (bi, fi) precedes (bj, fj) in
+    block i's COLUMN space; flip means block j must be inverted before
+    concatenation. wrap marks an *origin pair* on a circular sequence: the
+    first fragment ends at the sequence end (cyclically) and the second
+    starts after the origin; joining produces a wrap fragment
+    (start + length > seq_len, model/fragments.frag_spans).
 
     Orientation-general: a block and its inverse represent the same aligned
     object, so joinability must not depend on the stored representation
@@ -48,23 +52,39 @@ def _adjacency_links(bs: BlockSet, max_gap: int):
         for i in range(len(f)):
             s, st, ln, o = f.row(i)
             per_seq[s].append((st, st + ln, o, bi, i))
-    links = []  # (bi, fi, bj, fj, flip_i, flip_j)
+    links = []  # (bi, fi, bj, fj, flip_i, flip_j, wrap)
+
+    def emit(st1, en1, o1, b1, f1, st2, en2, o2, b2, f2, gap, wrap):
+        if gap < 0 or gap > max_gap or b1 == b2:
+            return
+        if o1 == 1:
+            links.append((b1, f1, b2, f2, False, o2 != 1, wrap))
+        if o2 == -1:
+            links.append((b2, f2, b1, f1, False, o1 != -1, wrap))
+        if o1 == -1 and o2 == 1:
+            # both representations point outward: the join is
+            # b1.inverse ++ b2 (flip the FIRST block)
+            links.append((b1, f1, b2, f2, True, False, wrap))
+
     for s, items in per_seq.items():
         items.sort()
         for a in range(len(items) - 1):
             st1, en1, o1, b1, f1 = items[a]
             st2, en2, o2, b2, f2 = items[a + 1]
-            gap = st2 - en1
-            if gap < 0 or gap > max_gap or b1 == b2:
-                continue
-            if o1 == 1:
-                links.append((b1, f1, b2, f2, False, o2 != 1))
-            if o2 == -1:
-                links.append((b2, f2, b1, f1, False, o1 != -1))
-            if o1 == -1 and o2 == 1:
-                # both representations point outward: the join is
-                # b1.inverse ++ b2 (flip the FIRST block)
-                links.append((b1, f1, b2, f2, True, False))
+            emit(st1, en1, o1, b1, f1, st2, en2, o2, b2, f2,
+                 st2 - en1, False)
+        # origin pair: cyclically, the last fragment precedes the first.
+        # (At most one wrap fragment can exist per sequence — enforced by
+        # the joined-length <= L guard below — and it sorts last by start,
+        # making the cyclic successor formula uniform.)
+        if len(items) >= 2 and bs.arena.circular(s):
+            L = bs.arena.seq_len(s)
+            st1, en1, o1, b1, f1 = items[-1]
+            st2, en2, o2, b2, f2 = items[0]
+            gap = st2 + L - en1
+            ln1, ln2 = en1 - st1, en2 - st2
+            if ln1 + gap + ln2 <= L:  # a fragment must not wrap twice
+                emit(st1, en1, o1, b1, f1, st2, en2, o2, b2, f2, gap, True)
     return links
 
 
@@ -110,21 +130,35 @@ class _StatCache:
         self.d[id(joined)] = (g1 + g2 + mid_good, t1 + t2 + mid_w, h1, ta2)
 
 
+def _pair_gap_geometry(arena, s, st1, ln1, st2, ln2, o, wrap):
+    """(gap_start_mod_L, gap_width, joined_start) for one fragment pair in
+    the joined column orientation. With wrap the gap crosses the origin of
+    circular sequence s and the joined fragment wraps."""
+    L = arena.seq_len(s)
+    en1, en2 = st1 + ln1, st2 + ln2
+    if not wrap:
+        if o == 1:
+            return en1, st2 - en1, min(st1, st2)
+        return en2, st1 - en2, min(st1, st2)
+    if o == 1:  # f1 at the high end, f2 after the origin
+        return en1 % L, st2 + L - en1, st1
+    # o == -1: f1 at the low end; column-leftward crosses the origin to f2
+    return en2 % L, st1 + L - en2, st2
+
+
 def _gap_segments(bs: BlockSet, b1: Block, b2: Block, pairing, flip1, flip2):
     """Per-pair gap texts in the joined column orientation."""
     arena = bs.arena
     o1s = -b1.frags.ori if flip1 else b1.frags.ori
     gaps = []
-    for f1, f2 in pairing:
+    for f1, f2, wrap in pairing:
         s, st1, ln1, _ = b1.frags.row(f1)
         _, st2, ln2, _ = b2.frags.row(f2)
         o = int(o1s[f1])
-        if o == 1:
-            glo, ghi = st1 + ln1, st2
-            seg = arena.seq_codes(s)[glo:ghi]
-        else:
-            glo, ghi = st2 + ln2, st1
-            seg = C.revcomp(arena.seq_codes(s)[glo:ghi])
+        glo, gw, _ = _pair_gap_geometry(arena, s, st1, ln1, st2, ln2, o, wrap)
+        seg = arena.circ_codes(s, glo, gw) if gw else arena.seq_codes(s)[:0]
+        if o != 1:
+            seg = C.revcomp(seg)
         gaps.append(np.asarray(seg, np.uint8))
     return gaps
 
@@ -177,9 +211,9 @@ def joinable_pairs(
     the joined block remains good. pairing: list of (frag_of_i, frag_of_j).
     Requires a perfect 1:1 pairing covering every fragment of both blocks."""
     max_gap = cfg.MAX_JOIN_GAP if cfg else 0
-    by_pair: dict[tuple[int, int, bool, bool], list[tuple[int, int]]] = defaultdict(list)
-    for b1, f1, b2, f2, flip1, flip2 in _adjacency_links(bs, max_gap):
-        by_pair[(b1, b2, flip1, flip2)].append((f1, f2))
+    by_pair: dict[tuple[int, int, bool, bool], list] = defaultdict(list)
+    for b1, f1, b2, f2, flip1, flip2, wrap in _adjacency_links(bs, max_gap):
+        by_pair[(b1, b2, flip1, flip2)].append((f1, f2, wrap))
     out = []
     for (b1, b2, flip1, flip2), pairs in sorted(by_pair.items()):
         n1 = bs.blocks[b1].n_frags
@@ -249,19 +283,17 @@ def _join_two(
         b2 = b2.inverse()
     gaps: list[np.ndarray] = []
     frows = []
-    for f1, f2 in pairing:
+    for f1, f2, wrap in pairing:
         s, st1, ln1, o = b1.frags.row(f1)
         _, st2, ln2, _ = b2.frags.row(f2)
-        if o == 1:
-            glo, ghi = st1 + ln1, st2
-            seg = arena.seq_codes(s)[glo:ghi]
-        else:
-            glo, ghi = st2 + ln2, st1
-            seg = C.revcomp(arena.seq_codes(s)[glo:ghi])
-        gaps.append(np.asarray(seg, np.uint8))
-        frows.append(
-            (s, min(st1, st2), ln1 + (ghi - glo) + ln2, o)
+        glo, gw, jstart = _pair_gap_geometry(
+            arena, s, st1, ln1, st2, ln2, o, wrap
         )
+        seg = arena.circ_codes(s, glo, gw) if gw else arena.seq_codes(s)[:0]
+        if o != 1:
+            seg = C.revcomp(seg)
+        gaps.append(np.asarray(seg, np.uint8))
+        frows.append((s, jstart, ln1 + gw + ln2, o))
     no_gaps = all(len(g) == 0 for g in gaps)
     if no_gaps and b1.is_gapless and b2.is_gapless:
         # gapless fast path: the joined block is gapless; its rows are

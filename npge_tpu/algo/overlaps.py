@@ -22,7 +22,8 @@ import numpy as np
 
 from npge_tpu.config import Config
 from npge_tpu.model.arena import GenomeArena
-from npge_tpu.model.blocks import Block
+from npge_tpu.model.blocks import Block, normalize_wrap_starts
+from npge_tpu.model.fragments import FragmentTable, frag_spans
 from npge_tpu.model.stats import column_classes, is_good_block
 from npge_tpu.algo.filter import best_good_slice
 
@@ -73,13 +74,19 @@ def _runs(mask: np.ndarray):
 def _admit_python(
     b: Block, arena, cfg: Config, occ: list[np.ndarray], accepted: list[Block]
 ) -> None:
-    """Admit one candidate against per-sequence occupancy (uint8 views)."""
+    """Admit one candidate against per-sequence occupancy (uint8 views).
+    Wrap-fragment aware: positions index occupancy modulo the sequence
+    length (model/fragments.frag_spans convention)."""
     # reject candidates whose own fragments overlap each other (can arise
     # from consensus re-seed mapping): they could never satisfy the
-    # partition invariant
+    # partition invariant. Wrap fragments contribute both spans.
     ivs = sorted(
-        (b.frags.seq_id[fi], b.frags.start[fi], b.frags.end[fi])
+        (int(b.frags.seq_id[fi]), a0, a1)
         for fi in range(b.n_frags)
+        for a0, a1 in frag_spans(
+            int(b.frags.start[fi]), int(b.frags.length[fi]),
+            arena.seq_len(int(b.frags.seq_id[fi])),
+        )
     )
     if any(a[0] == c[0] and c[1] < a[2] for a, c in zip(ivs, ivs[1:])):
         return
@@ -89,24 +96,26 @@ def _admit_python(
         row = b.frags.row(fi)
         aln_row = None if b.alignment is None else b.alignment[fi]
         pos = _col_positions(row, n, aln_row)
+        L = arena.seq_len(row[0])
         occupied = np.zeros(n, dtype=bool)
         has = pos >= 0
-        occupied[has] = occ[row[0]][pos[has]] != 0
+        occupied[has] = occ[row[0]][pos[has] % L] != 0
         free &= ~occupied
     for c0, c1 in _runs(free):
         if c1 - c0 < cfg.MIN_LENGTH:
             continue
-        piece = b.slice(c0, c1)
+        piece = normalize_wrap_starts(b.slice(c0, c1), arena)
         if not is_good_block(piece, arena, cfg):
             ident, gapless = column_classes(piece.rows(arena))
             sl = best_good_slice(ident & gapless, cfg)
             if sl is None:
                 continue
-            piece = piece.slice(*sl)
+            piece = normalize_wrap_starts(piece.slice(*sl), arena)
         accepted.append(piece)
         for fi in range(piece.n_frags):
             row = piece.frags.row(fi)
-            occ[row[0]][row[1] : row[1] + row[2]] = 1
+            for a0, a1 in frag_spans(row[1], row[2], arena.seq_len(row[0])):
+                occ[row[0]][a0:a1] = 1
 
 
 def resolve_overlaps(
@@ -121,7 +130,6 @@ def resolve_overlaps(
     Both share one occupancy bitmap, processed in one global greedy order,
     so results are identical either way (parity-tested)."""
     from npge_tpu import native
-    from npge_tpu.model.fragments import FragmentTable
 
     occ_concat = np.zeros(arena.total_length, np.uint8)
     occ = [
@@ -137,16 +145,17 @@ def resolve_overlaps(
         if b.n_frags < 2 or b.n_cols < cfg.MIN_LENGTH:
             i += 1
             continue
-        if not (native_ok and b.is_gapless):
+        if not (native_ok and b.is_gapless and not _has_wrap(b, arena)):
             _admit_python(b, arena, cfg, occ, accepted)
             i += 1
             continue
-        # maximal run of consecutive gapless candidates -> one C++ call
+        # maximal run of consecutive gapless non-wrap candidates -> one
+        # C++ call (the native path assumes start+length <= seq_len)
         j = i
         seg: list[Block] = []
         while j < len(order):
             nb = cand[order[j]]
-            if not nb.is_gapless:
+            if not nb.is_gapless or _has_wrap(nb, arena):
                 break
             if nb.n_frags >= 2 and nb.n_cols >= cfg.MIN_LENGTH:
                 seg.append(nb)
@@ -178,10 +187,20 @@ def resolve_overlaps(
     return accepted
 
 
+def _has_wrap(b: Block, arena) -> bool:
+    return bool(
+        (
+            b.frags.start.astype(np.int64) + b.frags.length
+            > arena.offsets[b.frags.seq_id + 1] - arena.offsets[b.frags.seq_id]
+        ).any()
+    )
+
+
 def occupancy(arena: GenomeArena, blocks: list[Block]):
     occ = [np.zeros(arena.seq_len(i), dtype=bool) for i in range(arena.n_seqs)]
     for b in blocks:
         for fi in range(b.n_frags):
             s, st, ln, _ = b.frags.row(fi)
-            occ[s][st : st + ln] = True
+            for a0, a1 in frag_spans(st, ln, arena.seq_len(s)):
+                occ[s][a0:a1] = True
     return occ

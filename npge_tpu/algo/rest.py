@@ -16,13 +16,31 @@ from npge_tpu.model.fragments import FragmentTable
 
 
 def rest_blocks(arena: GenomeArena, occ: list[np.ndarray]) -> list[Block]:
-    """One unique block per maximal uncovered interval (ori=+1)."""
+    """One unique block per maximal uncovered interval (ori=+1).
+
+    On a circular sequence, uncovered runs touching both the end and the
+    start of the coordinate axis are one *cyclic* run: they merge into a
+    single wrap fragment (start + length > seq_len) so no unique-block
+    boundary is pinned at position 0 (SURVEY §2.1 circularity [A])."""
     out = []
     for seq_id in range(arena.n_seqs):
         starts, ends = native.uncovered_runs(
             np.ascontiguousarray(occ[seq_id], np.uint8)
         )
-        for st, en in zip(starts.tolist(), ends.tolist()):
+        starts, ends = starts.tolist(), ends.tolist()
+        L = arena.seq_len(seq_id)
+        if (
+            arena.circular(seq_id)
+            and len(starts) >= 2
+            and starts[0] == 0
+            and ends[-1] == L
+        ):
+            # merge last+first into one wrap run
+            starts[0] = starts[-1]
+            ends[0] = L + ends[0]
+            starts.pop()
+            ends.pop()
+        for st, en in zip(starts, ends):
             out.append(
                 Block(FragmentTable.from_rows([(seq_id, st, en - st, 1)]))
             )

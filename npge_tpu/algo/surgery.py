@@ -33,7 +33,7 @@ import numpy as np
 
 from npge_tpu.config import Config
 from npge_tpu.model.arena import GenomeArena
-from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.blocks import Block, BlockSet, normalize_wrap_starts
 from npge_tpu.model.fragments import FragmentTable
 from npge_tpu.model.hashing import blockset_hash
 from npge_tpu.model.stats import column_classes, is_good_block
@@ -80,7 +80,9 @@ def cut_gaps(block: Block, arena: GenomeArena) -> Block | None:
     idx = np.flatnonzero(gapless)
     if len(idx) == 0:
         return None
-    return block.slice(int(idx[0]), int(idx[-1]) + 1)
+    return normalize_wrap_starts(
+        block.slice(int(idx[0]), int(idx[-1]) + 1), arena
+    )
 
 
 def split_repeats(
@@ -161,6 +163,7 @@ def find_low_similar(
         piece = block.slice(c0, c1)
         if piece is None or piece.n_frags < 2:
             return
+        piece = normalize_wrap_starts(piece, arena)
         if is_good_block(piece, arena, cfg):
             out.append(piece)
             return
@@ -168,7 +171,7 @@ def find_low_similar(
         sl = best_good_slice(ident & gapless, cfg)
         if sl is None:
             return
-        out.append(piece.slice(*sl))
+        out.append(normalize_wrap_starts(piece.slice(*sl), arena))
         rec(c0, c0 + sl[0])
         rec(c0 + sl[1], c1)
 

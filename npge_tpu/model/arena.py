@@ -134,7 +134,9 @@ class GenomeArena:
 
         ``start + length > seq_len`` marks a *wrap* fragment spanning the
         origin of a circular sequence (positions start..L-1 then 0..rest);
-        wrap fragments are produced by origin joins (algo.joiner)."""
+        wrap fragments are produced by origin joins (algo.joiner) and by
+        origin-merged Rest runs (algo.rest); every interval consumer goes
+        through model.fragments.frag_spans."""
         if start + length > self.seq_len(seq_id):
             if not self.circular(seq_id):
                 raise ValueError(

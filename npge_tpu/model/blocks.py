@@ -159,6 +159,30 @@ class Block:
         return b
 
 
+def normalize_wrap_starts(b: Block, arena: GenomeArena) -> Block:
+    """Renormalize fragment starts into [0, seq_len).
+
+    Slicing a wrap block (start + length > seq_len, circular sequences —
+    see model/fragments.frag_spans) can produce pieces whose start falls past
+    the origin; every slice consumer must pass the piece through here.
+    Raises on a start beyond a *linear* sequence (a coordinate bug)."""
+    st = b.frags.start.astype(np.int64)
+    sl = arena.offsets[b.frags.seq_id + 1] - arena.offsets[b.frags.seq_id]
+    over = st >= sl
+    if not over.any():
+        return b
+    for fi in np.flatnonzero(over):
+        if not arena.circular(int(b.frags.seq_id[fi])):
+            raise ValueError("fragment start beyond a linear sequence")
+    nf = FragmentTable(
+        b.frags.seq_id,
+        np.where(over, st - sl, st).astype(np.int32),
+        b.frags.length,
+        b.frags.ori,
+    )
+    return Block(nf, b.alignment, b.name)
+
+
 class BlockSet:
     """Arena + blocks; the world object threaded through pipeline stages."""
 

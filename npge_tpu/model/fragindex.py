@@ -53,6 +53,24 @@ class FragmentIndex:
             frag[o : o + m] = np.arange(m)
             o += m
         end = start + length
+        # wrap fragments (start+length > seq_len on circular sequences)
+        # index as TWO span rows so neighbor/gap queries near the origin
+        # see both occupied pieces; wrap fragments themselves earn no
+        # growth room (is_wrap_part marks their rows)
+        seq_len = arena.offsets[seq + 1] - arena.offsets[seq] if n else end
+        wrapm = end > seq_len if n else np.zeros(0, bool)
+        is_wrap = wrapm.copy()
+        if wrapm.any():
+            wi = np.flatnonzero(wrapm)
+            # head span [start, L), tail span [0, end-L)
+            seq = np.concatenate([seq, seq[wi]])
+            start = np.concatenate([start, np.zeros(len(wi), np.int64)])
+            tail_end = end[wi] - seq_len[wi]
+            end = np.concatenate([np.where(wrapm, seq_len, end), tail_end])
+            ori = np.concatenate([ori, ori[wi]])
+            block = np.concatenate([block, block[wi]])
+            frag = np.concatenate([frag, frag[wi]])
+            is_wrap = np.concatenate([is_wrap, np.ones(len(wi), bool)])
         order = np.lexsort((end, start, seq))
         self.seq = seq[order]
         self.start = start[order]
@@ -60,6 +78,7 @@ class FragmentIndex:
         self.ori = ori[order]
         self.block = block[order]
         self.frag = frag[order]
+        self.is_wrap_part = is_wrap[order]
         self.seq_off = np.searchsorted(
             self.seq, np.arange(arena.n_seqs + 1)
         ).astype(np.int64)
@@ -119,6 +138,8 @@ class FragmentIndex:
         rr = [np.zeros(b.n_frags, np.int64) for b in self.blocks]
         rf = [np.zeros(b.n_frags, np.int64) for b in self.blocks]
         for i in range(len(self)):
+            if self.is_wrap_part[i]:
+                continue  # wrap fragments earn no growth room
             rr[self.block[i]][self.frag[i]] = room_rev[i]
             rf[self.block[i]][self.frag[i]] = room_fwd[i]
         return rr, rf

@@ -80,3 +80,18 @@ class FragmentTable:
             return FragmentTable.empty()
         a = np.asarray(rows, dtype=np.int32)
         return FragmentTable(a[:, 0], a[:, 1], a[:, 2], a[:, 3])
+
+
+def frag_spans(start: int, length: int, seq_len: int):
+    """Occupied interval(s) of a fragment as 1-2 half-open spans.
+
+    A *wrap* fragment on a circular sequence has start + length > seq_len and
+    occupies [start, seq_len) ++ [0, start + length - seq_len). Wrap
+    fragments are produced only on circular sequences (origin joins in
+    algo/joiner, origin-merged Rest runs); every interval consumer must go
+    through this helper instead of assuming start + length <= seq_len
+    (round-1 advisor finding: establisher/checker disagreement)."""
+    end = start + length
+    if end <= seq_len:
+        return [(start, end)]
+    return [(start, seq_len), (0, end - seq_len)]
