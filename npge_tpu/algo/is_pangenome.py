@@ -31,6 +31,7 @@ class PangenomeReport:
     overcovered_positions: int = 0
     bad_blocks: list[str] = field(default_factory=list)
     joinable: int = 0
+    snappable: int = 0
     new_hits: int = 0
     messages: list[str] = field(default_factory=list)
 
@@ -68,6 +69,19 @@ def check_is_pangenome(
     if rep.joinable:
         rep.ok = False
         rep.messages.append(f"{rep.joinable} joinable block pairs")
+
+    # 3b. no snappable boundaries (Stick dry run — small boundary overlaps
+    # within STICK_MAX_SHIFT; VERDICT round-1 item 7). Subsumed by the
+    # partition check for self-built sets, but gives imported blocksets a
+    # precise boundary-placement verdict.
+    from npge_tpu.algo.stick import snappable_pairs
+
+    rep.snappable = len(snappable_pairs(bs, cfg))
+    if rep.snappable:
+        rep.ok = False
+        rep.messages.append(
+            f"{rep.snappable} snappable block pairs (run Stick)"
+        )
 
     # 4. (deep) re-seeding on block consensuses yields no admissible good
     # hit — the k-mer analog of the reference's all-vs-all BLAST emptiness

@@ -134,7 +134,7 @@ def cmd_make_pangenome(args) -> None:
 
 
 def cmd_post_processing(args) -> None:
-    from npge_tpu.algo.bsa import exact_stem_bsa
+    from npge_tpu.algo.bsa import exact_stem_bsa, find_bsa
     from npge_tpu.algo.mutations import mutations_tsv
     from npge_tpu.algo.reports import block_info_tsv, info_text, per_genome_table
     from npge_tpu.algo.trees import consensus_tree, distances_tsv
@@ -148,6 +148,8 @@ def cmd_post_processing(args) -> None:
     with open(os.path.join(out, "distances.tsv"), "w") as fh:
         fh.write(distances_tsv(bs))
     with open(os.path.join(out, "bsa.tsv"), "w") as fh:
+        fh.write(find_bsa(bs).tsv())  # order-aligned (rearrangement view)
+    with open(os.path.join(out, "bsa_scaffold.tsv"), "w") as fh:
         fh.write(exact_stem_bsa(bs).tsv())
     tree, n_used = consensus_tree(bs)
     with open(os.path.join(out, "consensus_tree.nwk"), "w") as fh:

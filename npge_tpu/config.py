@@ -25,6 +25,7 @@ class Config:
     ANCHOR_SIZE: int = 21          # exact-match seed length (odd => no palindromic k-mers) [C]
     MAX_ANCHOR_FRAGMENTS: int = 256  # drop k-mer groups bigger than this (repeat guard; our knob)
     MAX_JOIN_GAP: int = 100        # max per-fragment gap bridged by Joiner [C]
+    STICK_MAX_SHIFT: int = 20      # max boundary overlap Stick snaps away [C]
     WORKERS: int = 1               # kept for CLI parity; parallelism is jit/mesh, not threads
 
     # ---- engine knobs (no reference equivalent; TPU-native design) ----

@@ -184,6 +184,14 @@ def _find_low_similar(bs: BlockSet, cfg: Config) -> BlockSet:
     return bs
 
 
+@register("Stick")
+def _stick(bs: BlockSet, cfg: Config) -> BlockSet:
+    from npge_tpu.algo.stick import stick_blocks
+
+    stick_blocks(bs, cfg)
+    return bs
+
+
 @register("Align")
 @register("MetaAligner")
 def _align(bs: BlockSet, cfg: Config) -> BlockSet:

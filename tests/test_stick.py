@@ -1,0 +1,81 @@
+"""Stick — boundary snapping of imported blocksets with small overlaps."""
+
+import numpy as np
+
+from npge_tpu.algo.is_pangenome import check_is_pangenome
+from npge_tpu.algo.joiner import join_blocks
+from npge_tpu.algo.rest import rest_blocks
+from npge_tpu.algo.overlaps import occupancy
+from npge_tpu.algo.stick import snappable_pairs, stick_blocks
+from npge_tpu.config import default_config
+from npge_tpu.model.arena import GenomeArena
+from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.fragments import FragmentTable
+from npge_tpu.util import codes as C
+
+
+def _world(L=1000, seed=1):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, 4, L).astype(np.uint8)
+    return GenomeArena(["A&chr&l", "B&chr&l"], [s, s.copy()])
+
+
+def test_snappable_detects_small_overlap():
+    arena = _world()
+    # second block's start overlaps the first block's end by 7
+    b1 = Block(FragmentTable([0, 1], [100, 100], [200, 200], [1, 1]))
+    b2 = Block(FragmentTable([0, 1], [293, 293], [200, 200], [1, 1]))
+    bs = BlockSet(arena, [b1, b2])
+    cfg = default_config().replace(MIN_LENGTH=50, MIN_END=3)
+    pairs = snappable_pairs(bs, cfg)
+    assert len(pairs) == 1 and pairs[0][2] == 7
+    n = stick_blocks(bs, cfg)
+    assert n >= 1
+    assert snappable_pairs(bs, cfg) == []
+    # blocks abut now; total coverage is a clean partition after the snap
+    occ = occupancy(arena, bs.blocks)
+    for o in occ:
+        assert int(o[100:493].sum()) == 393  # no double coverage, no hole
+    # a valid blockset results after join + rest
+    join_blocks(bs, cfg)
+    full = BlockSet(arena, bs.blocks + rest_blocks(arena, occupancy(arena, bs.blocks)))
+    rep = check_is_pangenome(full, cfg)
+    assert rep.ok, rep.messages
+
+
+def test_stick_respects_priority_and_orientation():
+    arena = _world(seed=2)
+    # higher-priority block (more coverage) keeps its boundary
+    big = Block(FragmentTable([0, 1], [100, 100], [400, 400], [1, 1]))
+    # minus-strand small block overlapping big's end by 5 at its column TAIL
+    # (interval start side, ori=-1)
+    small = Block(FragmentTable([0, 1], [495, 495], [100, 100], [-1, -1]))
+    bs = BlockSet(arena, [big, small])
+    cfg = default_config().replace(MIN_LENGTH=50, MIN_END=3)
+    stick_blocks(bs, cfg)
+    assert snappable_pairs(bs, cfg) == []
+    kept_big = [b for b in bs.blocks if b.n_cols == 400]
+    assert kept_big, "higher-priority block must keep its 400 columns"
+    trimmed = [b for b in bs.blocks if b.n_cols != 400]
+    assert trimmed and trimmed[0].frags.start.min() >= 500
+
+
+def test_stick_large_overlap_left_alone():
+    arena = _world(seed=3)
+    b1 = Block(FragmentTable([0, 1], [100, 100], [200, 200], [1, 1]))
+    b2 = Block(FragmentTable([0, 1], [150, 150], [200, 200], [1, 1]))  # 150 overlap
+    bs = BlockSet(arena, [b1, b2])
+    cfg = default_config().replace(MIN_LENGTH=50, MIN_END=3)
+    assert snappable_pairs(bs, cfg) == []  # beyond STICK_MAX_SHIFT
+    assert stick_blocks(bs, cfg) == 0
+
+
+def test_is_pangenome_reports_snappable():
+    arena = _world(seed=4)
+    b1 = Block(FragmentTable([0, 1], [0, 0], [500, 500], [1, 1]))
+    b2 = Block(FragmentTable([0, 1], [490, 490], [510, 510], [1, 1]))
+    bs = BlockSet(arena, [b1, b2])
+    cfg = default_config().replace(MIN_LENGTH=50, MIN_END=3)
+    rep = check_is_pangenome(bs, cfg)
+    assert not rep.ok and rep.snappable == 1
+    assert any("snappable" in m for m in rep.messages)
