@@ -149,12 +149,74 @@ def minimizer_mask(canon_hi, canon_lo, valid, w: int):
     return valid & (mh == h) & (ml == l)
 
 
-@partial(jax.jit, static_argnames=("k", "w"))
-def _scan_select(codes, seq_id_of, k: int, w: int):
+@jax.jit
+def kmer_scan_dyn(codes: jax.Array, seq_id_of: jax.Array, k):
+    """`kmer_scan` with a TRACED k (bit-identical results, tests assert it).
+
+    One compiled executable serves every k in 1..32 for a given arena shape
+    — the reseed loop shrinks k each round, and per-k recompiles through
+    this machine's remote-compile tunnel cost 10-70 s each (the dominant
+    anchors-stage cost observed on chip). The k-length window accumulation
+    runs as a `lax.fori_loop` over the maximum k with masked contributions.
+    """
+    T = codes.shape[0]
+    KMAX = 32
+    c = codes.astype(jnp.uint32)
+    pad = jnp.full((KMAX,), 4, jnp.uint32)
+    cext = jnp.concatenate([c, pad])
+    sid_ext = jnp.concatenate([seq_id_of, jnp.full((KMAX,), -1, jnp.int32)])
+    k = jnp.asarray(k, jnp.int32)
+
+    def body(i, st):
+        f_hi, f_lo, r_hi, r_lo, has_n = st
+        ci = jax.lax.dynamic_slice(cext, (i,), (T,))
+        on = i < k
+        has_n = has_n | (on & (ci >= 4))
+        cr = 3 - ci
+        # forward: weight 4^(k-1-i); revcomp: complement at weight 4^i
+        sf = 2 * (k - 1 - i)
+        add_lo = on & (sf < 32)
+        add_hi = on & (sf >= 32)
+        f_lo = f_lo + jnp.where(
+            add_lo, ci << jnp.clip(sf, 0, 31).astype(jnp.uint32), 0
+        )
+        f_hi = f_hi + jnp.where(
+            add_hi, ci << jnp.clip(sf - 32, 0, 31).astype(jnp.uint32), 0
+        )
+        sr = 2 * i
+        r_lo = r_lo + jnp.where(
+            on & (sr < 32), cr << jnp.clip(sr, 0, 31).astype(jnp.uint32), 0
+        )
+        r_hi = r_hi + jnp.where(
+            on & (sr >= 32),
+            cr << jnp.clip(sr - 32, 0, 31).astype(jnp.uint32),
+            0,
+        )
+        return (f_hi, f_lo, r_hi, r_lo, has_n)
+
+    z = jnp.zeros(T, jnp.uint32)
+    f_hi, f_lo, r_hi, r_lo, has_n = jax.lax.fori_loop(
+        0, KMAX, body, (z, z, z, z, jnp.zeros(T, jnp.bool_))
+    )
+    same_seq = jax.lax.dynamic_slice(sid_ext, (k - 1,), (T,)) == seq_id_of
+    valid = same_seq & ~has_n
+    fwd_min = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo < r_lo))
+    palindrome = (f_hi == r_hi) & (f_lo == r_lo)
+    canon_hi = jnp.where(fwd_min, f_hi, r_hi)
+    canon_lo = jnp.where(fwd_min, f_lo, r_lo)
+    strand = jnp.where(
+        palindrome, jnp.int8(0), jnp.where(fwd_min, jnp.int8(1), jnp.int8(-1))
+    )
+    return canon_hi, canon_lo, strand, valid
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _scan_select(codes, seq_id_of, k, w: int):
     """Fused scan + minimizer selection; returns device arrays
     (canon_hi, canon_lo, strand, packed selection bits). Keys stay on
-    device — only the bit mask (T/8 bytes) crosses to the host."""
-    canon_hi, canon_lo, strand, valid = kmer_scan(codes, seq_id_of, k)
+    device — only the bit mask (T/8 bytes) crosses to the host. k is
+    traced (one compile per arena shape, not per k)."""
+    canon_hi, canon_lo, strand, valid = kmer_scan_dyn(codes, seq_id_of, k)
     sel = minimizer_mask(canon_hi, canon_lo, valid, w) & (strand != 0)
     return canon_hi, canon_lo, strand, jnp.packbits(sel)
 

@@ -124,3 +124,25 @@ def test_find_anchors_on_synthetic():
     assert groups.n_groups > 20
     sizes = groups.sizes()
     assert (sizes >= 2).all()
+
+
+def test_kmer_scan_dyn_matches_static():
+    """kmer_scan_dyn (traced k, one compile for all k) must be bit-identical
+    to the static-k kmer_scan for every k and across sequence boundaries."""
+    import jax.numpy as jnp
+
+    from npge_tpu.ops.kmers import kmer_scan, kmer_scan_dyn
+
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 5, 3000).astype(np.uint8)  # with N codes
+    sid = np.zeros(3000, np.int32)
+    sid[1100:] = 1
+    sid[2300:] = 2
+    cj, sj = jnp.asarray(codes), jnp.asarray(sid)
+    for k in (1, 2, 13, 16, 17, 21, 31, 32):
+        a = kmer_scan(cj, sj, k)
+        b = kmer_scan_dyn(cj, sj, k)
+        for x, y, name in zip(a, b, ("hi", "lo", "strand", "valid")):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"k={k} {name}"
+            )
