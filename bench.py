@@ -7,18 +7,35 @@ measured speedup against a *vectorized NumPy* implementation of the same
 banded wavefront on this host (an optimistic stand-in for the reference's
 single-threaded CPU DP — it is already SIMD-wide via NumPy).
 
-Secondary numbers (extra JSON keys): the gapless group-extension kernel's
-cells/sec and its CPU counterpart.
+Secondary numbers (extra JSON keys, VERDICT r2 item 1):
+  - extension_cells_per_sec: the PRODUCTION gapless extension op
+    (`extend_chunk_rows`, the row-gather formulation the pipeline runs) at
+    steady state;
+  - extension_oracle_cells_per_sec: the byte-gather parity oracle (what the
+    r1/r2 bench mistakenly reported as the extension number);
+  - pipeline_extend_cells_per_sec: extension throughput measured THROUGH
+    `extend_anchor_groups` inside a real `build_pangenome` run (honest
+    real-cells counter, not padded batch cells);
+  - pipeline_wall_s: full genomes->blockset wall for the fixed 3x1Mb
+    synthetic config (same world as benchmarks/scale_3x1mb.py) on the
+    default backend, with `pipeline_vs_cpu_backend` against the recorded
+    34 s CPU-backend wall for the same config (benchmarks/README.md).
+
+Every section runs under its own SIGALRM budget; a wedged TPU tunnel (see
+project memory) zeroes that section's keys instead of killing the line.
 """
 
 from __future__ import annotations
 
 import json
+import signal
 import time
 
 import numpy as np
 
 NEG = -(1 << 29)
+
+CPU_BACKEND_PIPELINE_WALL_S = 34.0  # benchmarks/README.md, 3x1Mb, this host
 
 
 def numpy_sw_wavefront(qp, trp, qlen, tlen, L, W=128, match=1, mismatch=-2,
@@ -128,11 +145,7 @@ def bench_sw(rng):
     return tpu_cps, cpu_cps, agree
 
 
-def bench_extension(rng):
-    import jax.numpy as jnp
-
-    from npge_tpu.ops.extend import bases_for_groups, extend_chunk, make_codes2
-
+def _extension_world(rng):
     T_half = 2_000_000
     half = rng.integers(0, 4, T_half).astype(np.uint8)
     other = half.copy()
@@ -146,19 +159,33 @@ def bench_extension(rng):
     ori = np.ones((B, F), np.int32)
     fmask = np.ones((B, F), bool)
     cap = np.full((B, F), CHUNK, np.int32)
+    return codes, lo, hi, ori, fmask, cap, B, F, CHUNK
+
+
+def bench_extension(rng):
+    """PRODUCTION path: `extend_chunk_rows` (row-gather windows), the op
+    `extend_anchor_groups` dispatches. VERDICT r2 item 1."""
     import jax
+    import jax.numpy as jnp
     from functools import partial
 
-    codes2 = make_codes2(jnp.asarray(codes))
-    _, base_r = bases_for_groups(lo, hi, ori, len(codes))
-    args = [codes2, jnp.asarray(base_r), jnp.asarray(fmask), jnp.asarray(cap)]
+    from npge_tpu.ops.extend import (
+        bases_for_groups, extend_chunk_rows, make_codes2_rows,
+    )
+
+    codes, lo, hi, ori, fmask, cap, B, F, CHUNK = _extension_world(rng)
+    T = len(codes)
+    codes2_rows = make_codes2_rows(jnp.asarray(codes))
+    _, base_r = bases_for_groups(lo, hi, ori, T)
+    args = [codes2_rows, jnp.asarray(base_r), jnp.asarray(fmask),
+            jnp.asarray(cap)]
 
     @partial(jax.jit, static_argnames=("n",))
-    def loop(codes2, base, fmask, cap, n):
+    def loop(rows, base, fmask, cap, n):
         def body(i, acc):
-            zeros = jnp.zeros(B, jnp.int32)
-            ext, _, _ = extend_chunk(
-                codes2, base + i, fmask, cap, zeros, zeros, 9, 10, CHUNK
+            z = jnp.zeros(B, jnp.int32)
+            ext, _, _ = extend_chunk_rows(
+                rows, 2 * T, base + i, fmask, cap, z, z, 9, 10, CHUNK
             )
             return acc + ext.sum()
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
@@ -166,51 +193,132 @@ def bench_extension(rng):
     return _timed_loop(loop, args, B * F * CHUNK)
 
 
+def bench_extension_oracle(rng):
+    """Byte-gather parity-oracle formulation (NOT the production path)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from npge_tpu.ops.extend import bases_for_groups, extend_chunk, make_codes2
+
+    codes, lo, hi, ori, fmask, cap, B, F, CHUNK = _extension_world(rng)
+    codes2 = make_codes2(jnp.asarray(codes))
+    _, base_r = bases_for_groups(lo, hi, ori, len(codes))
+    args = [codes2, jnp.asarray(base_r), jnp.asarray(fmask), jnp.asarray(cap)]
+
+    @partial(jax.jit, static_argnames=("n",))
+    def loop(codes2, base, fmask, cap, n):
+        def body(i, acc):
+            z = jnp.zeros(B, jnp.int32)
+            ext, _, _ = extend_chunk(
+                codes2, base + i, fmask, cap, z, z, 9, 10, CHUNK
+            )
+            return acc + ext.sum()
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    return _timed_loop(loop, args, B * F * CHUNK, n1=2, n2=6)
+
+
+def bench_pipeline():
+    """Full genomes->blockset on the fixed 3x1Mb synthetic world (identical
+    parameters to benchmarks/scale_3x1mb.py) on the default backend."""
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.config import default_config
+    from npge_tpu.util.synthetic import synthetic_arena
+
+    arena = synthetic_arena(
+        n_genomes=3, length=1_000_000, seed=7,
+        sub_rate=0.01, indel_rate=0.0002, n_inversions=2,
+    )
+    cfg = default_config()
+    t0 = time.perf_counter()
+    bs, tm = build_pangenome(arena, cfg)
+    wall = time.perf_counter() - t0
+    ext_s = tm.seconds.get("extend", 0.0)
+    ext_cells = tm.counters.get("extend_cells", 0)
+    return {
+        "pipeline_wall_s": round(wall, 1),
+        "pipeline_vs_cpu_backend": round(
+            CPU_BACKEND_PIPELINE_WALL_S / wall, 2
+        ),
+        "pipeline_extend_cells_per_sec": round(
+            ext_cells / ext_s if ext_s > 0 else 0.0, 0
+        ),
+        "pipeline_blocks": len(bs.blocks),
+        "pipeline_stage_s": {
+            k: round(v, 1) for k, v in tm.seconds.items()
+        },
+    }
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+def _run_section(fn, budget_s):
+    """Run one bench section under its own SIGALRM budget. Returns
+    (result, None) or (None, error_string)."""
+    def _handler(signum, frame):
+        raise _SectionTimeout()
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(budget_s)
+    try:
+        return fn(), None
+    except _SectionTimeout:
+        return None, f"section timeout after {budget_s}s (TPU tunnel?)"
+    except Exception as e:  # record, keep the line printing
+        return None, repr(e)[:300]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
-    import signal
-
-    def _watchdog(signum, frame):
-        print(
-            json.dumps(
-                {
-                    "metric": "sw_dp_cells_per_sec_per_chip",
-                    "value": 0,
-                    "unit": "cells/s",
-                    "vs_baseline": 0,
-                    "error": "device timeout (TPU tunnel unresponsive)",
-                }
-            ),
-            flush=True,
-        )
-        raise SystemExit(3)
-
-    signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(540)
-
+    out = {
+        "metric": "sw_dp_cells_per_sec_per_chip",
+        "value": 0,
+        "unit": "cells/s",
+        "vs_baseline": 0,
+    }
     from npge_tpu.util.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
     import jax
 
+    out["device"] = str(jax.devices()[0])
     rng = np.random.default_rng(0)
-    sw_tpu, sw_cpu, sw_agree = bench_sw(rng)
-    ext_tpu = bench_extension(rng)
-    signal.alarm(0)
-    print(
-        json.dumps(
-            {
-                "metric": "sw_dp_cells_per_sec_per_chip",
-                "value": round(sw_tpu, 0),
-                "unit": "cells/s",
-                "vs_baseline": round(sw_tpu / sw_cpu, 2),
-                "baseline_def": "vectorized-NumPy same band recurrence, this host",
-                "cpu_sw_cells_per_sec": round(sw_cpu, 0),
-                "sw_results_match_cpu": sw_agree,
-                "extension_cells_per_sec": round(ext_tpu, 0),
-                "device": str(jax.devices()[0]),
-            }
+
+    res, err = _run_section(lambda: bench_sw(rng), 300)
+    if res is not None:
+        sw_tpu, sw_cpu, sw_agree = res
+        out.update(
+            value=round(sw_tpu, 0),
+            vs_baseline=round(sw_tpu / sw_cpu, 2),
+            baseline_def="vectorized-NumPy same band recurrence, this host",
+            cpu_sw_cells_per_sec=round(sw_cpu, 0),
+            sw_results_match_cpu=sw_agree,
         )
-    )
+    else:
+        out["sw_error"] = err
+
+    res, err = _run_section(lambda: bench_extension(rng), 240)
+    if res is not None:
+        out["extension_cells_per_sec"] = round(res, 0)
+    else:
+        out["extension_error"] = err
+
+    res, err = _run_section(lambda: bench_extension_oracle(rng), 240)
+    if res is not None:
+        out["extension_oracle_cells_per_sec"] = round(res, 0)
+
+    res, err = _run_section(bench_pipeline, 900)
+    if res is not None:
+        out.update(res)
+    else:
+        out["pipeline_error"] = err
+
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

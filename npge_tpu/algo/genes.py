@@ -103,25 +103,27 @@ class GenePartition:
 
 def partition_genes(genes: list[Gene], bs: BlockSet) -> list[GenePartition]:
     """Map every gene interval through the block partition: which blocks
-    (and which alignment columns) cover it (PrintPartition parity)."""
-    # per-seq sorted fragment index: (start, end, block_idx, frag_idx)
-    per_seq: dict[int, list[tuple[int, int, int, int]]] = {}
-    for bi, b in enumerate(bs.blocks):
-        for fi in range(b.n_frags):
-            s, st, ln, _ = b.frags.row(fi)
-            per_seq.setdefault(s, []).append((st, st + ln, bi, fi))
-    for s in per_seq:
-        per_seq[s].sort()
+    (and which alignment columns) cover it (PrintPartition parity).
+
+    Fragment lookup rides the shared :class:`FragmentIndex` sorted rows
+    (VERDICT r2 item 6) instead of an ad-hoc per-seq dict."""
+    from npge_tpu.model.fragindex import FragmentIndex
+
+    idx = FragmentIndex(bs.arena, bs.blocks)
     out = []
     for gene in genes:
         pieces = []
-        items = per_seq.get(gene.seq_id, [])
-        starts = [it[0] for it in items]
-        import bisect
-
-        i = bisect.bisect_right(starts, gene.start) - 1
-        i = max(i, 0)
-        for st, en, bi, fi in items[i:]:
+        lo_r = int(idx.u_seq_off[gene.seq_id])
+        hi_r = int(idx.u_seq_off[gene.seq_id + 1])
+        i = int(
+            np.searchsorted(
+                idx.u_start[lo_r:hi_r], gene.start, side="right"
+            )
+        ) - 1
+        i = max(i, 0) + lo_r
+        for r in range(i, hi_r):
+            st, en = int(idx.u_start[r]), int(idx.u_end[r])
+            bi, fi = int(idx.u_block[r]), int(idx.u_frag[r])
             if st >= gene.end:
                 break
             lo, hi = max(st, gene.start), min(en, gene.end)

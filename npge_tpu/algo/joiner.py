@@ -45,18 +45,24 @@ def _adjacency_links(bs: BlockSet, max_gap: int):
     (anchor canonicalization makes representations arbitrary). For the
     earlier-on-sequence fragment with ori +1, the later fragment continues
     its columns; for the later fragment with ori -1 (reading right-to-left),
-    the earlier fragment continues its columns."""
-    per_seq: dict[int, list[tuple[int, int, int, int, int]]] = defaultdict(list)
-    for bi, b in enumerate(bs.blocks):
-        f = b.frags
-        for i in range(len(f)):
-            s, st, ln, o = f.row(i)
-            per_seq[s].append((st, st + ln, o, bi, i))
-    links = []  # (bi, fi, bj, fj, flip_i, flip_j, wrap)
+    the earlier fragment continues its columns.
 
-    def emit(st1, en1, o1, b1, f1, st2, en2, o2, b2, f2, gap, wrap):
-        if gap < 0 or gap > max_gap or b1 == b2:
-            return
+    Adjacency comes from :meth:`FragmentIndex.adjacent_pairs` (the shared
+    sorted per-sequence backbone — VERDICT r2 item 6), including the cyclic
+    origin pairs of circular sequences."""
+    from npge_tpu.model.fragindex import FragmentIndex
+
+    idx = FragmentIndex(bs.arena, bs.blocks)
+    ia, ib, _gap, wraps = idx.adjacent_pairs(max_gap)
+    links = []  # (bi, fi, bj, fj, flip_i, flip_j, wrap)
+    o_a, o_b = idx.u_ori[ia], idx.u_ori[ib]
+    bl_a, bl_b = idx.u_block[ia], idx.u_block[ib]
+    fr_a, fr_b = idx.u_frag[ia], idx.u_frag[ib]
+    for j in range(len(ia)):
+        o1, o2 = int(o_a[j]), int(o_b[j])
+        b1, f1 = int(bl_a[j]), int(fr_a[j])
+        b2, f2 = int(bl_b[j]), int(fr_b[j])
+        wrap = bool(wraps[j])
         if o1 == 1:
             links.append((b1, f1, b2, f2, False, o2 != 1, wrap))
         if o2 == -1:
@@ -65,26 +71,6 @@ def _adjacency_links(bs: BlockSet, max_gap: int):
             # both representations point outward: the join is
             # b1.inverse ++ b2 (flip the FIRST block)
             links.append((b1, f1, b2, f2, True, False, wrap))
-
-    for s, items in per_seq.items():
-        items.sort()
-        for a in range(len(items) - 1):
-            st1, en1, o1, b1, f1 = items[a]
-            st2, en2, o2, b2, f2 = items[a + 1]
-            emit(st1, en1, o1, b1, f1, st2, en2, o2, b2, f2,
-                 st2 - en1, False)
-        # origin pair: cyclically, the last fragment precedes the first.
-        # (At most one wrap fragment can exist per sequence — enforced by
-        # the joined-length <= L guard below — and it sorts last by start,
-        # making the cyclic successor formula uniform.)
-        if len(items) >= 2 and bs.arena.circular(s):
-            L = bs.arena.seq_len(s)
-            st1, en1, o1, b1, f1 = items[-1]
-            st2, en2, o2, b2, f2 = items[0]
-            gap = st2 + L - en1
-            ln1, ln2 = en1 - st1, en2 - st2
-            if ln1 + gap + ln2 <= L:  # a fragment must not wrap twice
-                emit(st1, en1, o1, b1, f1, st2, en2, o2, b2, f2, gap, True)
     return links
 
 

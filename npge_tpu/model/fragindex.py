@@ -82,6 +82,26 @@ class FragmentIndex:
         self.seq_off = np.searchsorted(
             self.seq, np.arange(arena.n_seqs + 1)
         ).astype(np.int64)
+        # ---- UNSPLIT adjacency view: wrap fragments stay single rows with
+        # end > seq_len (they sort last by start — the cyclic-successor
+        # formula in adjacent_pairs relies on it). Sort key mirrors the
+        # Python tuple order (start, end, ori, block, frag) the Joiner
+        # historically used, so link order is bit-stable across the r3
+        # migration (VERDICT r2 item 6).
+        m = n
+        u_end = start[:m] + length[:m]
+        uorder = np.lexsort(
+            (frag[:m], block[:m], ori[:m], u_end, start[:m], seq[:m])
+        )
+        self.u_seq = seq[:m][uorder]
+        self.u_start = start[:m][uorder]
+        self.u_end = u_end[uorder]
+        self.u_ori = ori[:m][uorder]
+        self.u_block = block[:m][uorder]
+        self.u_frag = frag[:m][uorder]
+        self.u_seq_off = np.searchsorted(
+            self.u_seq, np.arange(arena.n_seqs + 1)
+        ).astype(np.int64)
 
     def __len__(self) -> int:
         return len(self.seq)
@@ -144,18 +164,50 @@ class FragmentIndex:
             rf[self.block[i]][self.frag[i]] = room_fwd[i]
         return rr, rf
 
-    # ---- adjacency (Joiner backbone) ----
-    def adjacent_pairs(self, max_gap: int):
-        """Consecutive same-sequence rows with gap in [0, max_gap] and
-        different source blocks. Returns arrays (ia, ib) of sorted-row indices
-        (row ia precedes row ib on the sequence)."""
-        if len(self) < 2:
-            z = np.zeros(0, np.int64)
-            return z, z
-        same = self.seq[1:] == self.seq[:-1]
-        g = self.start[1:] - self.end[:-1]
-        ok = same & (g >= 0) & (g <= max_gap) & (
-            self.block[1:] != self.block[:-1]
+    # ---- adjacency (Joiner / MergeUnique backbone) ----
+    def adjacent_pairs(self, max_gap: int | None = None):
+        """Consecutive same-sequence fragment pairs in the UNSPLIT view.
+
+        Returns (ia, ib, gap, wrap): unsplit-row index arrays where row ia
+        immediately precedes row ib on the sequence (nothing between), gap
+        is the free distance between them, and wrap marks the cyclic origin
+        pair of a circular sequence (the last fragment precedes the first
+        across the origin; emitted only when the joined span would fit
+        without double-wrapping). With ``max_gap`` given, pairs are filtered
+        to 0 <= gap <= max_gap and different source blocks (the Joiner
+        candidate predicate)."""
+        z = np.zeros(0, np.int64)
+        M = len(self.u_seq)
+        if M < 2:
+            return z, z, z, np.zeros(0, bool)
+        same = self.u_seq[1:] == self.u_seq[:-1]
+        ia = np.flatnonzero(same)
+        ib = ia + 1
+        gap = self.u_start[ib] - self.u_end[ia]
+        wrap = np.zeros(len(ia), bool)
+        # origin pairs on circular sequences with >= 2 fragments
+        counts = np.diff(self.u_seq_off)
+        circ = np.array(
+            [self.arena.circular(s) for s in range(len(counts))], bool
         )
-        ia = np.flatnonzero(ok)
-        return ia, ia + 1
+        cs = np.flatnonzero(circ & (counts >= 2))
+        if len(cs):
+            last = self.u_seq_off[cs + 1] - 1
+            first = self.u_seq_off[cs]
+            L = self.arena.offsets[cs + 1] - self.arena.offsets[cs]
+            g0 = self.u_start[first] + L - self.u_end[last]
+            ln1 = self.u_end[last] - self.u_start[last]
+            ln2 = self.u_end[first] - self.u_start[first]
+            keep = ln1 + g0 + ln2 <= L  # a fragment must not wrap twice
+            ia = np.concatenate([ia, last[keep]])
+            ib = np.concatenate([ib, first[keep]])
+            gap = np.concatenate([gap, g0[keep]])
+            wrap = np.concatenate([wrap, np.ones(int(keep.sum()), bool)])
+        if max_gap is not None:
+            ok = (
+                (gap >= 0)
+                & (gap <= max_gap)
+                & (self.u_block[ia] != self.u_block[ib])
+            )
+            ia, ib, gap, wrap = ia[ok], ib[ok], gap[ok], wrap[ok]
+        return ia, ib, gap, wrap

@@ -236,7 +236,7 @@ def extend_rounds_rows(
 
     state = (jnp.int32(0), base, cap, z, z, z, jnp.bool_(True))
     state = jax.lax.while_loop(cond, body, state)
-    return state[5]
+    return state[5], state[0]
 
 
 def extend_sides_fused(
@@ -247,17 +247,18 @@ def extend_sides_fused(
 
     Stacks left/right along the batch axis (they are independent problems)
     and runs :func:`extend_rounds_rows` once. Returns device arrays
-    (ext_left[B], ext_right[B]) — callers may defer the host sync."""
+    (ext_left[B], ext_right[B], rounds_executed) — callers may defer the
+    host sync; `rounds_executed` feeds the honest real-cells counter."""
     base = jnp.concatenate([jnp.asarray(base_l), jnp.asarray(base_r)])
     cap = jnp.concatenate([jnp.asarray(cap_l), jnp.asarray(cap_r)])
     fm = jnp.asarray(fmask)
     fm2 = jnp.concatenate([fm, fm])
     B = base_l.shape[0]
-    total = extend_rounds_rows(
+    total, rounds = extend_rounds_rows(
         codes2_rows, T2, base, fm2, cap, ident_num, ident_den,
         chunk, max_rounds,
     )
-    return total[:B], total[B:]
+    return total[:B], total[B:], rounds
 
 
 def extend_side(

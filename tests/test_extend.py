@@ -193,9 +193,10 @@ def test_fused_rounds_match_host_loop():
     cr = rng.integers(0, 700, (B, F)).astype(np.int32)
     cr[0] = 700  # group 0 must be free to extend through multiple chunks
     base_l, base_r = bases_for_groups(lo, hi, ori, T)
-    el_f, er_f = extend_sides_fused(
+    el_f, er_f, rounds = extend_sides_fused(
         rows, 2 * T, base_l, base_r, fmask, cl, cr, 9, 10, chunk, max_rounds
     )
+    assert 1 <= int(rounds) <= max_rounds
     el_h = extend_side(
         codes2, jnp.asarray(base_l), jnp.asarray(fmask), cl, 9, 10,
         chunk, max_rounds,
