@@ -21,14 +21,17 @@ Secondary numbers (extra JSON keys, VERDICT r2 item 1):
     default backend, with `pipeline_vs_cpu_backend` against the recorded
     34 s CPU-backend wall for the same config (benchmarks/README.md).
 
-Every section runs under its own SIGALRM budget; a wedged TPU tunnel (see
-project memory) zeroes that section's keys instead of killing the line.
+Every section runs in its OWN SUBPROCESS under a hard timeout: a wedged TPU
+tunnel (this environment's failure mode — a hung device call is NOT
+interruptible by SIGALRM) kills only that section; the parent process never
+touches the device and always prints the one JSON line.
 """
 
 from __future__ import annotations
 
 import json
-import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -251,73 +254,78 @@ def bench_pipeline():
     }
 
 
-class _SectionTimeout(Exception):
-    pass
+def _section_main(name: str) -> dict:
+    """Child-process entry: run one section, return its result dict."""
+    from npge_tpu.util.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    rng = np.random.default_rng(0)
+    if name == "sw":
+        sw_tpu, sw_cpu, sw_agree = bench_sw(rng)
+        return {
+            "value": round(sw_tpu, 0),
+            "vs_baseline": round(sw_tpu / sw_cpu, 2),
+            "baseline_def": (
+                "vectorized-NumPy same band recurrence, this host"
+            ),
+            "cpu_sw_cells_per_sec": round(sw_cpu, 0),
+            "sw_results_match_cpu": sw_agree,
+            "device": str(jax.devices()[0]),
+        }
+    if name == "ext":
+        return {"extension_cells_per_sec": round(bench_extension(rng), 0)}
+    if name == "oracle":
+        return {
+            "extension_oracle_cells_per_sec": round(
+                bench_extension_oracle(rng), 0
+            )
+        }
+    if name == "pipeline":
+        return bench_pipeline()
+    raise SystemExit(f"unknown section {name}")
 
 
-def _run_section(fn, budget_s):
-    """Run one bench section under its own SIGALRM budget. Returns
-    (result, None) or (None, error_string)."""
-    def _handler(signum, frame):
-        raise _SectionTimeout()
-
-    old = signal.signal(signal.SIGALRM, _handler)
-    signal.alarm(budget_s)
+def _run_section(name: str, budget_s: int) -> tuple[dict | None, str | None]:
+    """Run a section as a subprocess with a hard timeout (a hung device
+    call cannot be interrupted in-process)."""
     try:
-        return fn(), None
-    except _SectionTimeout:
-        return None, f"section timeout after {budget_s}s (TPU tunnel?)"
-    except Exception as e:  # record, keep the line printing
-        return None, repr(e)[:300]
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+        p = subprocess.run(
+            [sys.executable, __file__, "--section", name],
+            capture_output=True, text=True, timeout=budget_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {budget_s}s (TPU tunnel wedged?)"
+    if p.returncode != 0:
+        return None, (p.stderr or p.stdout)[-300:]
+    try:
+        return json.loads(p.stdout.strip().splitlines()[-1]), None
+    except Exception:
+        return None, f"unparseable section output: {p.stdout[-200:]!r}"
 
 
 def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        print(json.dumps(_section_main(sys.argv[2])), flush=True)
+        return
     out = {
         "metric": "sw_dp_cells_per_sec_per_chip",
         "value": 0,
         "unit": "cells/s",
         "vs_baseline": 0,
     }
-    from npge_tpu.util.jaxcache import enable_compilation_cache
-
-    enable_compilation_cache()
-    import jax
-
-    out["device"] = str(jax.devices()[0])
-    rng = np.random.default_rng(0)
-
-    res, err = _run_section(lambda: bench_sw(rng), 300)
-    if res is not None:
-        sw_tpu, sw_cpu, sw_agree = res
-        out.update(
-            value=round(sw_tpu, 0),
-            vs_baseline=round(sw_tpu / sw_cpu, 2),
-            baseline_def="vectorized-NumPy same band recurrence, this host",
-            cpu_sw_cells_per_sec=round(sw_cpu, 0),
-            sw_results_match_cpu=sw_agree,
-        )
-    else:
-        out["sw_error"] = err
-
-    res, err = _run_section(lambda: bench_extension(rng), 240)
-    if res is not None:
-        out["extension_cells_per_sec"] = round(res, 0)
-    else:
-        out["extension_error"] = err
-
-    res, err = _run_section(lambda: bench_extension_oracle(rng), 240)
-    if res is not None:
-        out["extension_oracle_cells_per_sec"] = round(res, 0)
-
-    res, err = _run_section(bench_pipeline, 900)
-    if res is not None:
-        out.update(res)
-    else:
-        out["pipeline_error"] = err
-
+    for name, budget, required in (
+        ("sw", 300, True),
+        ("ext", 240, True),
+        ("oracle", 180, False),
+        ("pipeline", 1200, True),
+    ):
+        res, err = _run_section(name, budget)
+        if res is not None:
+            out.update(res)
+        elif required:
+            out[f"{name}_error"] = err
     print(json.dumps(out), flush=True)
 
 

@@ -22,7 +22,7 @@ from npge_tpu.model.fragments import FragmentTable
 from npge_tpu.algo.anchors import AnchorGroups
 from npge_tpu.ops.extend import (
     bases_for_groups,
-    extend_sides_fused,
+    extend_rounds_rows,
     make_codes2_rows,
 )
 
@@ -87,14 +87,27 @@ def extend_anchor_groups(
     cfg: Config,
     codes_dev=None,
     timings=None,
+    mesh=None,
 ) -> list[Block]:
     """Extend all groups; return candidate gapless blocks (one per group),
     in deterministic group order. `timings` (StageTimings) receives an
-    ``extend_cells`` counter when given."""
+    ``extend_cells`` counter when given.
+
+    With ``mesh`` (1-D jax.sharding.Mesh) the padded (2*Bp, F) extension
+    batches are sharded over the group axis — each device computes only its
+    1/N slice (the batch dimension is padded to a device-count multiple;
+    the arena rows stay replicated for the window gathers). Results are
+    bit-identical to the single-device run: the extension rule is
+    per-group, and the freeze rule keeps per-group results independent of
+    batch composition (VERDICT r2 item 4 / SURVEY §2.6)."""
     if groups.n_groups == 0:
         return []
     if codes_dev is None:
         codes_dev = jnp.asarray(arena.codes)
+    if mesh is not None:
+        from npge_tpu.parallel.mesh import replicate
+
+        codes_dev = replicate(mesh, codes_dev)
     T = arena.total_length
     codes2_rows = make_codes2_rows(codes_dev)
     k = groups.k
@@ -108,6 +121,12 @@ def extend_anchor_groups(
     chunk = min(cfg.EXTEND_CHUNK, cfg.MAX_EXTEND)
     max_rounds = max(1, -(-cfg.MAX_EXTEND // chunk))
 
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("d", None))
+
     pending = []  # (batch_gids, el_dev, er_dev) — sync once at the end
     for fb in sorted({_bucket_f(int(s)) for s in sizes}):
         sel = gids[
@@ -116,11 +135,12 @@ def extend_anchor_groups(
         if len(sel) == 0:
             continue
         b_cap = max(256, _ELEM_BUDGET // (fb * chunk))
+        b_cap = -(-b_cap // n_dev) * n_dev
         for i0 in range(0, len(sel), b_cap):
             batch = sel[i0 : i0 + b_cap]
             B = len(batch)
             Bp = b_cap  # fixed batch shape per F-bucket -> stable jit cache
-            while Bp // 2 >= B and Bp > 256:
+            while Bp // 2 >= B and Bp > 256 and (Bp // 2) % n_dev == 0:
                 Bp //= 2
             # vectorized ragged->padded gather (slot j of group g reads
             # occurrence offsets[g]+j, masked by group size)
@@ -147,10 +167,24 @@ def extend_anchor_groups(
                 valid, np.minimum(cap_r[oidx], cfg.MAX_EXTEND), 0
             )
             base_l, base_r = bases_for_groups(lo, hi, ori, T)
-            el, er, rounds = extend_sides_fused(
-                codes2_rows, 2 * T, base_l, base_r, fmask, cl, cr,
+            # left/right are independent problems: stack along the batch
+            # axis on host and run ONE device dispatch (both sides, all
+            # rounds fused); under a mesh the stacked batch is sharded
+            # over devices (2*Bp stays a device-count multiple)
+            base2 = np.concatenate([base_l, base_r])
+            cap2 = np.concatenate([cl, cr])
+            fm2 = np.concatenate([fmask, fmask])
+            if mesh is not None:
+                import jax
+
+                base2 = jax.device_put(base2, batch_sharding)
+                cap2 = jax.device_put(cap2, batch_sharding)
+                fm2 = jax.device_put(fm2, batch_sharding)
+            total, rounds = extend_rounds_rows(
+                codes2_rows, 2 * T, base2, fm2, cap2,
                 num, den, chunk, max_rounds,
             )
+            el, er = total[:Bp], total[Bp:]
             # real (unpadded) fragment slots in this batch — the honest
             # cells counter multiplies by rounds actually executed, read
             # back lazily with the results (VERDICT r2 weak #9)

@@ -41,6 +41,49 @@ def _block_score_key(b: Block, arena: GenomeArena):
     return (-b.n_frags, -b.n_frags * b.n_cols, first)
 
 
+def _admission_order_and_wraps(cand: list[Block], arena: GenomeArena):
+    """(order, wrap_flags): vectorized equivalent of sorting by
+    ``_block_score_key`` (same order bit-for-bit — lexsort is stable, as is
+    ``sorted``) plus a per-candidate any-fragment-wraps flag. One pass over
+    concatenated fragment arrays instead of ~75k tiny-numpy key calls
+    (the r2 profile's dominant resolve cost)."""
+    G = len(cand)
+    if G == 0:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    nfr = np.fromiter((b.n_frags for b in cand), np.int64, G)
+    ncols = np.fromiter((b.n_cols for b in cand), np.int64, G)
+    offs = np.zeros(G + 1, np.int64)
+    np.cumsum(nfr, out=offs[1:])
+    seq = np.concatenate([b.frags.seq_id for b in cand]).astype(np.int64)
+    start = np.concatenate([b.frags.start for b in cand]).astype(np.int64)
+    length = np.concatenate([b.frags.length for b in cand]).astype(np.int64)
+    ori = np.concatenate([b.frags.ori for b in cand]).astype(np.int64)
+    gid = np.repeat(np.arange(G, dtype=np.int64), nfr)
+    enc = (seq << 32) + start
+    BIG = np.int64(1) << 62
+    # canonical first fragment per candidate (min (seq, start), stable)
+    first_s = np.full(G, BIG)
+    first_st = np.full(G, BIG)
+    first_ln = np.full(G, BIG)
+    first_o = np.full(G, BIG)
+    if len(gid):
+        perm = np.lexsort((enc, gid))
+        ne = nfr > 0
+        firsts = perm[offs[:-1][ne]]
+        first_s[ne] = seq[firsts]
+        first_st[ne] = start[firsts]
+        first_ln[ne] = length[firsts]
+        first_o[ne] = ori[firsts]
+    order = np.lexsort(
+        (first_o, first_ln, first_st, first_s, -nfr * ncols, -nfr)
+    )
+    seq_len = arena.offsets[seq + 1] - arena.offsets[seq]
+    wraps = np.zeros(G, bool)
+    if len(gid):
+        wraps[gid[start + length > seq_len]] = True
+    return order, wraps
+
+
 def _col_positions(frag_row, n_cols: int, aln_row=None) -> np.ndarray:
     """Sequence position of each alignment column for one fragment;
     -1 where the row holds a gap."""
@@ -136,7 +179,7 @@ def resolve_overlaps(
         occ_concat[arena.offsets[i] : arena.offsets[i + 1]]
         for i in range(arena.n_seqs)
     ]
-    order = sorted(range(len(cand)), key=lambda i: _block_score_key(cand[i], arena))
+    order, wraps = _admission_order_and_wraps(cand, arena)
     accepted: list[Block] = []
     native_ok = use_native and native.have_native()
     i = 0
@@ -145,7 +188,7 @@ def resolve_overlaps(
         if b.n_frags < 2 or b.n_cols < cfg.MIN_LENGTH:
             i += 1
             continue
-        if not (native_ok and b.is_gapless and not _has_wrap(b, arena)):
+        if not (native_ok and b.is_gapless and not wraps[order[i]]):
             _admit_python(b, arena, cfg, occ, accepted)
             i += 1
             continue
@@ -155,7 +198,7 @@ def resolve_overlaps(
         seg: list[Block] = []
         while j < len(order):
             nb = cand[order[j]]
-            if not nb.is_gapless or _has_wrap(nb, arena):
+            if not nb.is_gapless or wraps[order[j]]:
                 break
             if nb.n_frags >= 2 and nb.n_cols >= cfg.MIN_LENGTH:
                 seg.append(nb)
@@ -185,15 +228,6 @@ def resolve_overlaps(
             )
         i = j
     return accepted
-
-
-def _has_wrap(b: Block, arena) -> bool:
-    return bool(
-        (
-            b.frags.start.astype(np.int64) + b.frags.length
-            > arena.offsets[b.frags.seq_id + 1] - arena.offsets[b.frags.seq_id]
-        ).any()
-    )
 
 
 def occupancy(arena: GenomeArena, blocks: list[Block]):

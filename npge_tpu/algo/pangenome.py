@@ -93,7 +93,9 @@ def build_pangenome(
     log(f"anchors: {groups.n_groups} groups, {len(groups.pos)} occurrences")
 
     t0 = time.perf_counter()
-    cand = extend_anchor_groups(arena, groups, cfg, codes_dev, timings=t)
+    cand = extend_anchor_groups(
+        arena, groups, cfg, codes_dev, timings=t, mesh=mesh
+    )
     t.add("extend", time.perf_counter() - t0)
     log(f"extend: {len(cand)} candidate blocks")
 
@@ -139,7 +141,7 @@ def build_pangenome(
         k = max(cfg.MIN_ANCHOR_SIZE, k - (cfg.RESEED_SHRINK if round_no else 0))
         cons, src = consensus_arena(full)
         groups = find_anchors(cons, cfg, k=k)
-        cand_cons = extend_anchor_groups(cons, groups, cfg)
+        cand_cons = extend_anchor_groups(cons, groups, cfg, mesh=mesh)
         mapped = deconseq(cand_cons, src, full)
         t.add("reseed", time.perf_counter() - t0)
         log(

@@ -44,6 +44,13 @@ def parse_fragment_id(frag_id: str, arena: GenomeArena) -> tuple[int, int, int, 
 
 
 def write_blockset(fh, bs: BlockSet, with_sequences: bool = True) -> None:
+    """Write a blockset to an open text handle OR a filesystem path
+    (symmetric with :func:`read_blockset`'s handle-or-path contract —
+    the reference's ``name_to_stream`` convenience, SURVEY §2.4)."""
+    if isinstance(fh, (str, bytes)):
+        with open(fh, "w") as real:
+            write_blockset(real, bs, with_sequences)
+        return
     if with_sequences:
         fh.write("# npge_tpu blockset v1\n")
         fh.write("# section: sequences\n")
