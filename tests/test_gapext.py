@@ -173,3 +173,33 @@ def test_pipeline_indel_world_more_shared_with_gapext():
     # determinism
     bs_on2, _ = build_pangenome(arena, cfg_on)
     assert blockset_hash(bs_on2) == blockset_hash(bs_on)
+
+
+def test_nw_batch_matches_single_pairs():
+    """_nw_fixed_query_batch pads pairs into shared grids; results must be
+    bit-identical to the one-pair-at-a-time DP for ragged lengths."""
+    from npge_tpu.algo.gapext import _nw_fixed_query_batch
+
+    rng = np.random.default_rng(9)
+    pairs = []
+    for _ in range(40):
+        A = int(rng.integers(1, 60))
+        q = rng.integers(0, 4, A).astype(np.uint8)
+        t = q.copy()
+        # random edits: subs + an indel
+        m = rng.random(A) < 0.1
+        t[m] = (t[m] + 1) % 4
+        cut = int(rng.integers(0, A))
+        if rng.random() < 0.5:
+            t = np.concatenate([t[:cut], rng.integers(0, 4, 3).astype(np.uint8), t[cut:]])
+        else:
+            t = np.concatenate([t[:cut], t[min(cut + 2, A):]])
+        pairs.append((q, t.astype(np.uint8)))
+    # force multiple chunks with a tiny chunk budget
+    batched = _nw_fixed_query_batch(pairs, 1, -2, -3, chunk_bytes=1 << 12)
+    for (q, t), (ba, bins) in zip(pairs, batched):
+        sa, sins = _nw_fixed_query(q, t, 1, -2, -3)
+        np.testing.assert_array_equal(ba, sa)
+        assert len(bins) == len(sins)
+        for x, y in zip(bins, sins):
+            np.testing.assert_array_equal(x, y)

@@ -79,3 +79,38 @@ def test_is_pangenome_reports_snappable():
     rep = check_is_pangenome(bs, cfg)
     assert not rep.ok and rep.snappable == 1
     assert any("snappable" in m for m in rep.messages)
+
+
+def test_gapped_snap_exact_boundary():
+    """A GAPPED loser block must be trimmed by exactly the overlapping
+    text positions — gap columns near the boundary must not cause
+    over-trim (VERDICT r2 weak #8). Every loser fragment's new start must
+    sit exactly at the winner's end."""
+    rng = np.random.default_rng(4)
+    s = rng.integers(0, 4, 1000).astype(np.uint8)
+    sB = np.concatenate([s[:457], s[459:]])  # 2-char deletion at 457
+    arena = GenomeArena(["A&chr&l", "B&chr&l"], [s, sB])
+    win = Block(FragmentTable([0, 1], [100, 100], [300, 300], [1, 1]))
+    # loser: gapped alignment over A[395:515] vs B[395:513]; B's rows carry
+    # a 2-gap run at columns 62,63 (the deletion site)
+    st, ln = 395, 120
+    aln = np.empty((2, ln), np.uint8)
+    aln[0] = s[st : st + ln]
+    aln[1, :62] = sB[st : st + 62]
+    aln[1, 62:64] = C.GAP
+    aln[1, 64:] = sB[st + 62 : st + ln - 2]
+    lose = Block(FragmentTable([0, 1], [st, st], [ln, ln - 2], [1, 1]), aln)
+    bs = BlockSet(arena, [win, lose])
+    cfg = default_config().replace(
+        MIN_LENGTH=50, MIN_END=1, STICK_MAX_SHIFT=10
+    )
+    pairs = snappable_pairs(bs, cfg)
+    assert pairs and pairs[0][2] == 5  # loser starts 5 before winner's end
+    stick_blocks(bs, cfg)
+    assert snappable_pairs(bs, cfg) == []
+    loser = next(b for b in bs.blocks if b.n_cols < 200)
+    # exact snap: starts move to the winner's end (400); each fragment
+    # sheds exactly 5 text positions, the gap run survives intact
+    assert loser.frags.start.tolist() == [400, 400]
+    assert loser.frags.length.tolist() == [115, 113]
+    assert not loser.is_gapless
