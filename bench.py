@@ -222,9 +222,9 @@ def bench_extension_oracle(rng):
     return _timed_loop(loop, args, B * F * CHUNK, n1=2, n2=6)
 
 
-def bench_pipeline():
+def bench_pipeline(prefix="pipeline"):
     """Full genomes->blockset on the fixed 3x1Mb synthetic world (identical
-    parameters to benchmarks/scale_3x1mb.py) on the default backend."""
+    parameters to benchmarks/scale_3x1mb.py) on the current backend."""
     from npge_tpu.algo.pangenome import build_pangenome
     from npge_tpu.config import default_config
     from npge_tpu.util.synthetic import synthetic_arena
@@ -240,15 +240,12 @@ def bench_pipeline():
     ext_s = tm.seconds.get("extend", 0.0)
     ext_cells = tm.counters.get("extend_cells", 0)
     return {
-        "pipeline_wall_s": round(wall, 1),
-        "pipeline_vs_cpu_backend": round(
-            CPU_BACKEND_PIPELINE_WALL_S / wall, 2
-        ),
-        "pipeline_extend_cells_per_sec": round(
+        f"{prefix}_wall_s": round(wall, 1),
+        f"{prefix}_extend_cells_per_sec": round(
             ext_cells / ext_s if ext_s > 0 else 0.0, 0
         ),
-        "pipeline_blocks": len(bs.blocks),
-        "pipeline_stage_s": {
+        f"{prefix}_blocks": len(bs.blocks),
+        f"{prefix}_stage_s": {
             k: round(v, 1) for k, v in tm.seconds.items()
         },
     }
@@ -284,16 +281,24 @@ def _section_main(name: str) -> dict:
         }
     if name == "pipeline":
         return bench_pipeline()
+    if name == "pipeline_cpu":
+        return bench_pipeline(prefix="cpu_pipeline")
     raise SystemExit(f"unknown section {name}")
 
 
-def _run_section(name: str, budget_s: int) -> tuple[dict | None, str | None]:
+def _run_section(
+    name: str, budget_s: int, env_extra: dict | None = None
+) -> tuple[dict | None, str | None]:
     """Run a section as a subprocess with a hard timeout (a hung device
     call cannot be interrupted in-process)."""
+    import os
+
+    env = dict(os.environ)
+    env.update(env_extra or {})
     try:
         p = subprocess.run(
             [sys.executable, __file__, "--section", name],
-            capture_output=True, text=True, timeout=budget_s,
+            capture_output=True, text=True, timeout=budget_s, env=env,
         )
     except subprocess.TimeoutExpired:
         return None, f"timeout after {budget_s}s (TPU tunnel wedged?)"
@@ -315,17 +320,27 @@ def main():
         "unit": "cells/s",
         "vs_baseline": 0,
     }
-    for name, budget, required in (
-        ("sw", 300, True),
-        ("ext", 240, True),
-        ("oracle", 180, False),
-        ("pipeline", 1200, True),
+    # pipeline FIRST: this machine's TPU tunnel degrades under sustained
+    # traffic (see ROUND_NOTES), so the headline end-to-end number gets the
+    # freshest link; the CPU-backend twin runs in-session for an honest
+    # same-machine-same-moment ratio.
+    for name, budget, required, env_extra in (
+        ("pipeline", 1200, True, None),
+        ("pipeline_cpu", 900, False, {"JAX_PLATFORMS": "cpu"}),
+        ("sw", 300, True, None),
+        ("ext", 300, True, None),
+        ("oracle", 180, False, None),
     ):
-        res, err = _run_section(name, budget)
+        res, err = _run_section(name, budget, env_extra)
         if res is not None:
             out.update(res)
         elif required:
             out[f"{name}_error"] = err
+    cpu_wall = out.get("cpu_pipeline_wall_s", CPU_BACKEND_PIPELINE_WALL_S)
+    if out.get("pipeline_wall_s"):
+        out["pipeline_vs_cpu_backend"] = round(
+            cpu_wall / out["pipeline_wall_s"], 2
+        )
     print(json.dumps(out), flush=True)
 
 

@@ -73,7 +73,7 @@ def main():
     try:
         from npge_tpu.ops.extend_pallas import extend_chunk_pallas
         codes2_pad = jnp.concatenate(
-            [codes2, jnp.full(CHUNK, 4, jnp.uint8)])
+            [codes2, jnp.full(CHUNK + 64, 4, jnp.uint8)])
 
         @partial(jax.jit, static_argnames=("n",))
         def loop_pallas(codes2p, base, fmask, cap, n):

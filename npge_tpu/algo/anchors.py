@@ -179,10 +179,11 @@ def find_anchors(
         return form_groups(h, l, pos, strand, arena, cfg, k)
     if codes_dev is None:
         codes_dev = jnp.asarray(arena.codes)
-    if seq_id_dev is None:
-        seq_id_dev = jnp.asarray(arena.seq_id_of_pos())
+    # seq ids are built on device from the tiny offsets table unless the
+    # caller already holds a device-resident copy
     h, l, pos, strand = find_anchor_occurrences(
-        codes_dev, seq_id_dev, k, cfg.MINIMIZER_WINDOW
+        codes_dev, seq_id_dev, k, cfg.MINIMIZER_WINDOW,
+        offsets=arena.offsets,
     )
     return form_groups(h, l, pos, strand, arena, cfg, k)
 

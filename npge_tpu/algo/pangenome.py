@@ -79,7 +79,6 @@ def build_pangenome(
         codes_dev = replicate(mesh, arena.codes)
     else:
         codes_dev = jnp.asarray(arena.codes)
-    sid_dev = jnp.asarray(arena.seq_id_of_pos())
     t.add("upload", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
@@ -88,7 +87,7 @@ def build_pangenome(
 
         groups = sharded_find_anchors(arena, cfg, mesh)
     else:
-        groups = find_anchors(arena, cfg, codes_dev, sid_dev)
+        groups = find_anchors(arena, cfg, codes_dev)
     t.add("anchors", time.perf_counter() - t0)
     log(f"anchors: {groups.n_groups} groups, {len(groups.pos)} occurrences")
 

@@ -227,6 +227,18 @@ def _gather_rows(canon_hi, canon_lo, strand, idx):
 
 
 @jax.jit
+def _sid_from_offsets(offsets, codes_p):
+    """int32 sequence id per (padded) position, built ON DEVICE from the
+    tiny offsets table. Saves the 4 bytes/position host->device seq_id
+    upload — through this machine's TPU tunnel that transfer, repeated
+    per reseed round, dwarfed the scan itself. Padding positions
+    (>= offsets[-1]) get -1 (never valid)."""
+    pos = jnp.arange(codes_p.shape[0], dtype=jnp.int64)
+    sid = jnp.searchsorted(offsets, pos, side="right").astype(jnp.int32) - 1
+    return jnp.where(pos >= offsets[-1], jnp.int32(-1), sid)
+
+
+@jax.jit
 def sort_selected(canon_hi, canon_lo, positions, strand):
     """Sort candidate occurrences by (key_hi, key_lo, position).
 
@@ -243,7 +255,8 @@ def sort_selected(canon_hi, canon_lo, positions, strand):
 
 
 def find_anchor_occurrences(
-    codes: jax.Array, seq_id_of: jax.Array, k: int, w: int
+    codes: jax.Array, seq_id_of: jax.Array | None, k: int, w: int,
+    offsets: np.ndarray | None = None,
 ):
     """Full device pass: scan -> minimizer sample -> compact -> sort.
 
@@ -253,12 +266,20 @@ def find_anchor_occurrences(
     Inputs are padded to a power-of-2 length (N sentinel / seq_id -1) before
     the scan so consensus arenas of nearby sizes hit one compiled scan
     (SURVEY §7 hard part 3); padded positions can never be valid (they scan
-    as N windows).
+    as N windows). Pass ``offsets`` (the arena's offsets table) INSTEAD of
+    ``seq_id_of`` to build the per-position sequence ids on device — the
+    preferred path on a remote-tunnel device (only bytes/8 + compact rows
+    cross the link).
     """
     T = int(codes.shape[0])
     Tp = 1 << max(0, T - 1).bit_length()
     if Tp != T:
         codes = jnp.pad(codes, (0, Tp - T), constant_values=4)
+    if seq_id_of is None:
+        seq_id_of = _sid_from_offsets(
+            jnp.asarray(np.asarray(offsets, np.int64)), codes
+        )
+    elif Tp != T:
         seq_id_of = jnp.pad(seq_id_of, (0, Tp - T), constant_values=-1)
     canon_hi, canon_lo, strand, bits = _scan_select(codes, seq_id_of, k, w)
     # compact via the packed bit mask (Tp/8 bytes host transfer), then gather
@@ -266,10 +287,14 @@ def find_anchor_occurrences(
     # (the full per-position key arrays are ~9 bytes/position; at arena
     # scale that transfer, not the scan, dominated the anchors stage)
     sel_np = np.unpackbits(np.asarray(bits), count=Tp).astype(bool)
-    idx = np.flatnonzero(sel_np).astype(np.int64)
+    idx = np.flatnonzero(sel_np)
+    # int32 upload suffices (Tp < 2^31) — half the link bytes of int64
     h, l, s = (
         np.asarray(x)
-        for x in _gather_rows(canon_hi, canon_lo, strand, jnp.asarray(idx))
+        for x in _gather_rows(
+            canon_hi, canon_lo, strand, jnp.asarray(idx.astype(np.int32))
+        )
     )
+    idx = idx.astype(np.int64)
     order = np.lexsort((idx, l, h))
     return h[order], l[order], idx[order], s[order]

@@ -146,3 +146,21 @@ def test_kmer_scan_dyn_matches_static():
             np.testing.assert_array_equal(
                 np.asarray(x), np.asarray(y), err_msg=f"k={k} {name}"
             )
+
+
+def test_sid_from_offsets_matches_host():
+    """Device-built per-position sequence ids (from the offsets table) must
+    equal the host arena.seq_id_of_pos(), with -1 on padding."""
+    import jax.numpy as jnp
+    from npge_tpu.ops.kmers import _sid_from_offsets
+    from npge_tpu.util.synthetic import synthetic_arena
+
+    arena = synthetic_arena(n_genomes=3, length=1000, seed=2)
+    T = arena.total_length
+    Tp = 1 << (T - 1).bit_length()
+    codes_p = jnp.zeros(Tp, jnp.uint8)
+    sid = np.asarray(
+        _sid_from_offsets(jnp.asarray(arena.offsets.astype(np.int64)), codes_p)
+    )
+    np.testing.assert_array_equal(sid[:T], arena.seq_id_of_pos())
+    assert (sid[T:] == -1).all()
