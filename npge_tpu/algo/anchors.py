@@ -127,18 +127,16 @@ def _cyclic_scan(arena: GenomeArena, k: int, w: int):
         np.int64,
     )
     parts = []
-    sid_parts = []
     eoff = np.zeros(arena.n_seqs + 1, np.int64)
     for i in range(arena.n_seqs):
         s = arena.seq_codes(i)
         seg = np.concatenate([s, s[: halos[i]]]) if halos[i] else s
         parts.append(seg)
-        sid_parts.append(np.full(len(seg), i, np.int32))
         eoff[i + 1] = eoff[i] + len(seg)
     codes_ext = np.concatenate(parts)
-    sid_ext = np.concatenate(sid_parts)
+    # device-built seq ids from the extended offsets (no 4 B/pos upload)
     h, l, pos, strand = find_anchor_occurrences(
-        jnp.asarray(codes_ext), jnp.asarray(sid_ext), k, w
+        jnp.asarray(codes_ext), None, k, w, offsets=eoff
     )
     seq = np.searchsorted(eoff, pos, side="right") - 1
     lens = (arena.offsets[seq + 1] - arena.offsets[seq]).astype(np.int64)
