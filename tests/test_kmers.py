@@ -148,6 +148,43 @@ def test_kmer_scan_dyn_matches_static():
             )
 
 
+def test_pad_ratchet_invariance():
+    """find_anchor_occurrences results must not depend on the pad ratchet:
+    padding the scan to a much larger floor (the remote-tunnel compile
+    saver) yields bit-identical occurrences."""
+    from npge_tpu.ops.kmers import find_anchor_occurrences, set_pad_ratchet
+
+    arena = synthetic_arena(n_genomes=2, length=2000, seed=9)
+    cj = jnp.asarray(arena.codes)
+    off = arena.offsets
+    base = find_anchor_occurrences(cj, None, 15, 8, offsets=off)
+    assert len(base[0]) > 0
+    try:
+        set_pad_ratchet(True)
+        # seed the floor with a scan over a much larger arena
+        big = synthetic_arena(n_genomes=2, length=9000, seed=10)
+        find_anchor_occurrences(
+            jnp.asarray(big.codes), None, 15, 8, offsets=big.offsets
+        )
+        ratcheted = find_anchor_occurrences(cj, None, 15, 8, offsets=off)
+    finally:
+        set_pad_ratchet(None)
+    for a, b, name in zip(base, ratcheted, ("hi", "lo", "pos", "strand")):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_scan_empty_selection():
+    """All-N arena selects nothing; the compact path returns empty arrays."""
+    from npge_tpu.ops.kmers import find_anchor_occurrences
+
+    codes = np.full(64, 4, np.uint8)
+    off = np.array([0, 64], np.int64)
+    h, l, p, s = find_anchor_occurrences(
+        jnp.asarray(codes), None, 15, 8, offsets=off
+    )
+    assert len(h) == len(l) == len(p) == len(s) == 0
+
+
 def test_sid_from_offsets_matches_host():
     """Device-built per-position sequence ids (from the offsets table) must
     equal the host arena.seq_id_of_pos(), with -1 on padding."""
