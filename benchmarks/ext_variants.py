@@ -5,6 +5,9 @@ Run:  python benchmarks/ext_variants.py
 import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from npge_tpu.util.jaxcache import enable_compilation_cache
+enable_compilation_cache()
+
 from functools import partial
 import numpy as np
 import jax

@@ -139,25 +139,33 @@ def cmd_post_processing(args) -> None:
     from npge_tpu.algo.reports import block_info_tsv, info_text, per_genome_table
     from npge_tpu.algo.trees import consensus_tree, distances_tsv
 
+    from npge_tpu.util.streams import write_text
+
     bs = _load_input(args.workdir, getattr(args, 'stage', None))
     out = args.workdir
-    with open(os.path.join(out, "blocks.tsv"), "w") as fh:
-        fh.write(block_info_tsv(bs))
-    with open(os.path.join(out, "mutations.tsv"), "w") as fh:
-        fh.write(mutations_tsv(bs))
-    with open(os.path.join(out, "distances.tsv"), "w") as fh:
-        fh.write(distances_tsv(bs))
-    with open(os.path.join(out, "bsa.tsv"), "w") as fh:
-        fh.write(find_bsa(bs).tsv())  # order-aligned (rearrangement view)
-    with open(os.path.join(out, "bsa_scaffold.tsv"), "w") as fh:
-        fh.write(exact_stem_bsa(bs).tsv())
+    # targets go through the named-stream resolver (util/streams): a test
+    # or script can repoint any of them at :stdout / a :named memory
+    # stream by overriding --target NAME=STREAM
+    targets = {
+        "blocks.tsv": lambda: block_info_tsv(bs),
+        "mutations.tsv": lambda: mutations_tsv(bs),
+        "distances.tsv": lambda: distances_tsv(bs),
+        # bsa.tsv is the order-aligned (rearrangement) view
+        "bsa.tsv": lambda: find_bsa(bs).tsv(),
+        "bsa_scaffold.tsv": lambda: exact_stem_bsa(bs).tsv(),
+        "info.txt": lambda: info_text(bs) + "\n",
+        "genomes_stats.tsv": lambda: per_genome_table(bs),
+    }
+    overrides = dict(
+        kv.split("=", 1) for kv in (getattr(args, "target", None) or [])
+    )
     tree, n_used = consensus_tree(bs)
-    with open(os.path.join(out, "consensus_tree.nwk"), "w") as fh:
-        fh.write(tree.newick(with_support=True) + "\n")
-    with open(os.path.join(out, "info.txt"), "w") as fh:
-        fh.write(info_text(bs) + "\n")
-    with open(os.path.join(out, "genomes_stats.tsv"), "w") as fh:
-        fh.write(per_genome_table(bs))
+    targets["consensus_tree.nwk"] = (
+        lambda: tree.newick(with_support=True) + "\n"
+    )
+    for fname, render in targets.items():
+        dest = overrides.get(fname, os.path.join(out, fname))
+        write_text(dest, render())
     print(
         f"post-processing written to {out}: blocks.tsv mutations.tsv "
         f"distances.tsv bsa.tsv consensus_tree.nwk (over {n_used} stem trees) info.txt"
@@ -280,6 +288,12 @@ def main(argv=None) -> None:
         if name == "check":
             sp.add_argument("--deep", action="store_true",
                             help="also verify re-seeding finds no new hits")
+        if name == "post-processing":
+            sp.add_argument(
+                "--target", action="append", metavar="FILE=STREAM",
+                help="repoint an output, e.g. info.txt=:stdout or "
+                     "blocks.tsv=:mybuf (named in-memory stream)",
+            )
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("run", help="run a named processor/pipe or script")
