@@ -172,3 +172,37 @@ def test_blockset_hash_duplicates_not_cancelled(tiny_arena):
     bs_aab2 = BlockSet(tiny_arena, [a2, b, a])
     assert blockset_hash(bs_aab) != blockset_hash(bs_b)
     assert blockset_hash(bs_aab) == blockset_hash(bs_aab2)
+
+
+def test_link_equal_fragments_na_by_design(tiny_arena):
+    """LinkEqualFragments subsumption proof (reference src/algo/
+    LinkEqualFragments.cpp [B]; COMPONENTS.md claims N/A-by-design).
+
+    The reference links duplicate Fragment heap objects so that equal
+    fragments compare/share identically. Here fragments are VALUE rows in
+    SoA tables, so the two properties linking buys are intrinsic:
+
+    1. value-equal rows built independently are indistinguishable to every
+       consumer (hashing here; overlap admission and FragmentIndex read
+       only the values);
+    2. there is no aliasing hazard for linking to manage — "linked"
+       (buffer-sharing) and copied tables behave identically, and
+       mutating one never affects the other.
+    """
+    rows = [(0, 0, 8, 1), (1, 2, 8, 1)]
+    a = Block(FragmentTable.from_rows(rows))
+    b = Block(FragmentTable.from_rows(rows))  # independent allocation
+    assert a.frags.seq_id is not b.frags.seq_id
+    assert block_hash(a, tiny_arena) == block_hash(b, tiny_arena)
+    # a buffer-sharing ("linked") view is also indistinguishable
+    linked = Block(
+        FragmentTable(a.frags.seq_id, a.frags.start, a.frags.length, a.frags.ori)
+    )
+    assert block_hash(linked, tiny_arena) == block_hash(a, tiny_arena)
+    assert blockset_hash(BlockSet(tiny_arena, [a, b])) == blockset_hash(
+        BlockSet(tiny_arena, [linked, b])
+    )
+    # no aliasing: mutating one independent copy leaves the other intact
+    b.frags.start[0] = 5
+    assert a.frags.start[0] == 0
+    assert block_hash(a, tiny_arena) != block_hash(b, tiny_arena)
