@@ -296,7 +296,7 @@ def _ratchet_on() -> bool:
 
 def find_anchor_occurrences(
     codes: jax.Array, seq_id_of: jax.Array | None, k: int, w: int,
-    offsets: np.ndarray | None = None,
+    offsets: np.ndarray | None = None, mesh=None,
 ):
     """Full device pass: scan -> minimizer sample -> compact (device).
 
@@ -324,12 +324,24 @@ def find_anchor_occurrences(
         raise ValueError("arena too large for int32 positions")
     if Tp != T:
         codes = jnp.pad(codes, (0, Tp - T), constant_values=4)
+    if mesh is not None and Tp % mesh.devices.size == 0:
+        # position-sharded scan: inputs ride the mesh, XLA SPMD inserts the
+        # halo exchanges for the shifted-window ops (SURVEY §2.6); the
+        # compacted outputs are replicated, tiny, and bit-identical to the
+        # single-device pass (tests assert)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        codes = jax.device_put(codes, NamedSharding(mesh, P("d")))
     if seq_id_of is None:
         seq_id_of = _sid_from_offsets(
             jnp.asarray(np.asarray(offsets, np.int64)), codes
         )
     elif Tp != T:
         seq_id_of = jnp.pad(seq_id_of, (0, Tp - T), constant_values=-1)
+    if mesh is not None and Tp % mesh.devices.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        seq_id_of = jax.device_put(seq_id_of, NamedSharding(mesh, P("d")))
     canon_hi, canon_lo, strand, sel, cnt = _scan_select(
         codes, seq_id_of, k, w
     )

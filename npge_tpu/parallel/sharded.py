@@ -17,8 +17,8 @@ import numpy as np
 
 from npge_tpu.config import Config
 from npge_tpu.model.arena import GenomeArena
-from npge_tpu.ops.kmers import kmer_scan, minimizer_mask
-from npge_tpu.parallel.mesh import make_mesh, shard_1d
+from npge_tpu.ops.kmers import find_anchor_occurrences
+from npge_tpu.parallel.mesh import make_mesh
 from npge_tpu.algo.anchors import AnchorGroups
 
 
@@ -27,27 +27,18 @@ def sharded_anchor_occurrences(
 ):
     """Position-sharded k-mer scan + minimizer sampling over the mesh.
 
-    Pads the arena to the device count (pad code N / seq_id -1 keeps padded
-    windows invalid), runs the jit'd scan with inputs sharded over the
-    position axis, then compacts + sorts on host. Output arrays are
-    identical to the single-device ops.kmers.find_anchor_occurrences.
+    Delegates to ops.kmers.find_anchor_occurrences with ``mesh``: the
+    padded scan inputs are sharded over the position axis (pad code N /
+    device-built seq ids keep padded windows invalid), compaction happens
+    on device, and only the compact occurrence rows reach the host.
+    Output arrays are bit-identical to the single-device pass (tested).
     """
     k = k or cfg.ANCHOR_SIZE
     mesh = mesh or make_mesh()
-    codes_sh, T = shard_1d(mesh, arena.codes, pad_value=4)
-    sid_sh, _ = shard_1d(
-        mesh, arena.seq_id_of_pos(), pad_value=np.int32(-1)
+    return find_anchor_occurrences(
+        jnp.asarray(arena.codes), None, k, cfg.MINIMIZER_WINDOW,
+        offsets=arena.offsets, mesh=mesh,
     )
-    canon_hi, canon_lo, strand, valid = kmer_scan(codes_sh, sid_sh, k)
-    sel = minimizer_mask(canon_hi, canon_lo, valid, cfg.MINIMIZER_WINDOW)
-    sel = sel & (strand != 0)
-    sel_np = np.asarray(sel)[:T]
-    idx = np.flatnonzero(sel_np).astype(np.int64)
-    h = np.asarray(canon_hi)[:T][idx]
-    l = np.asarray(canon_lo)[:T][idx]
-    s = np.asarray(strand)[:T][idx]
-    order = np.lexsort((idx, l, h))  # deterministic global merge order
-    return h[order], l[order], idx[order], s[order]
 
 
 def sharded_find_anchors(
