@@ -283,6 +283,11 @@ def _section_main(name: str) -> dict:
         return bench_pipeline()
     if name == "pipeline_cpu":
         return bench_pipeline(prefix="cpu_pipeline")
+    if name == "probe":
+        import jax.numpy as jnp
+
+        v = int(jax.jit(lambda x: (x * x).sum())(jnp.arange(512)))
+        return {"probe_ok": v == 44608256, "device": str(jax.devices()[0])}
     raise SystemExit(f"unknown section {name}")
 
 
@@ -320,17 +325,28 @@ def main():
         "unit": "cells/s",
         "vs_baseline": 0,
     }
-    # pipeline FIRST: this machine's TPU tunnel degrades under sustained
-    # traffic (see ROUND_NOTES), so the headline end-to-end number gets the
-    # freshest link; the CPU-backend twin runs in-session for an honest
-    # same-machine-same-moment ratio.
-    for name, budget, required, env_extra in (
-        ("pipeline", 1200, True, None),
-        ("pipeline_cpu", 900, False, {"JAX_PLATFORMS": "cpu"}),
-        ("sw", 300, True, None),
-        ("ext", 300, True, None),
-        ("oracle", 180, False, None),
+    # a 90s probe first: if the device tunnel is wedged (this machine's
+    # recurring failure mode), record the error fast and skip straight to
+    # the CPU sections instead of eating every TPU section's full budget.
+    probe, probe_err = _run_section("probe", 90)
+    device_ok = bool(probe and probe.get("probe_ok"))
+    if not device_ok:
+        out["device_error"] = probe_err or str(probe)
+    # pipeline FIRST among TPU sections: the tunnel degrades under
+    # sustained traffic (see ROUND_NOTES), so the headline end-to-end
+    # number gets the freshest link; the CPU-backend twin runs in-session
+    # for an honest same-machine-same-moment ratio.
+    for name, budget, required, env_extra, needs_dev in (
+        ("pipeline", 1200, True, None, True),
+        ("pipeline_cpu", 900, False, {"JAX_PLATFORMS": "cpu"}, False),
+        ("sw", 300, True, None, True),
+        ("ext", 300, True, None, True),
+        ("oracle", 180, False, None, True),
     ):
+        if needs_dev and not device_ok:
+            if required:
+                out[f"{name}_error"] = "skipped: device probe failed"
+            continue
         res, err = _run_section(name, budget, env_extra)
         if res is not None:
             out.update(res)

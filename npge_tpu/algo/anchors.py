@@ -54,22 +54,8 @@ class AnchorGroups:
         return np.diff(self.offsets)
 
 
-def dedupe_parallel_groups(
-    groups: AnchorGroups, window: int
-) -> AnchorGroups:
-    """Drop groups that are shifted copies of a nearby kept group.
-
-    Adjacent minimizers of one conserved locus yield many groups whose
-    occurrence sets are parallel translates (same sequences, same strands,
-    identical position deltas). Extending every one is redundant — they all
-    grow into the same block and lose in overlap resolution. Key = (seqs,
-    strands, position deltas); within a key, groups whose first position is
-    within ``window`` of the previously kept group are dropped (the kept
-    seed's extension covers the same regions). Deterministic: groups are
-    scanned in canonical (key-sorted) order.
-    """
-    if groups.n_groups == 0:
-        return groups
+def _dedupe_keep_mask_exact(groups: AnchorGroups, window: int) -> np.ndarray:
+    """Reference (per-group Python) keep mask — parity oracle for tests."""
     from collections import defaultdict
 
     keep = np.ones(groups.n_groups, dtype=bool)
@@ -91,6 +77,91 @@ def dedupe_parallel_groups(
                 keep[g] = False
             else:
                 last = p0
+    return keep
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (splitmix64 finalizer), vectorized."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _dedupe_keep_mask(groups: AnchorGroups, window: int) -> np.ndarray:
+    """Vectorized keep mask: the per-group key (seqs, strands, position
+    deltas) is replaced by a 128-bit order-sensitive rolling hash computed
+    with array ops (the Python tobytes loop dominated host time at scale);
+    greedy window suppression runs per hash-bucket on the tiny buckets."""
+    G = groups.n_groups
+    sizes = groups.sizes()
+    first = groups.offsets[:-1]
+    gid = np.repeat(np.arange(G, dtype=np.int64), sizes)
+    M = len(groups.pos)
+    delta = np.zeros(M, np.int64)
+    if M > 1:
+        delta[1:] = groups.pos[1:] - groups.pos[:-1]
+    delta[first] = 0  # first position is NOT part of the key
+    row = (
+        (groups.seq_id.astype(np.uint64) << np.uint64(34))
+        ^ ((groups.strand.astype(np.int64) & 0x3).astype(np.uint64)
+           << np.uint64(32))
+        ^ delta.astype(np.uint64)
+    )
+    # order-sensitive segment hash: sum_i mix(row_i) * P^(i - first_g)
+    # (two independent mixes -> 128 bits; uint64 wraparound is the modulus)
+    expo = np.arange(M, dtype=np.int64) - first[gid]
+    with np.errstate(over="ignore"):
+        pw1 = np.uint64(0x100000001B3) ** expo.astype(np.uint64)
+        pw2 = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        pw2 = pw2 ** expo.astype(np.uint64)
+        t1 = _splitmix64(row) * pw1
+        t2 = _splitmix64(row ^ np.uint64(0xA5A5A5A5A5A5A5A5)) * pw2
+    # segments are contiguous in occurrence order -> reduceat segment sums
+    h1 = np.add.reduceat(t1, first).astype(np.uint64)
+    h2 = np.add.reduceat(t2, first).astype(np.uint64)
+    p0 = groups.pos[first]
+    order = np.lexsort((p0, sizes, h2, h1))
+    h1s, h2s, ss = h1[order], h2[order], sizes[order]
+    new_bucket = np.ones(G, dtype=bool)
+    new_bucket[1:] = (
+        (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]) | (ss[1:] != ss[:-1])
+    )
+    keep = np.ones(G, dtype=bool)
+    starts = np.flatnonzero(new_bucket)
+    ends = np.append(starts[1:], G)
+    p0s = p0[order]
+    for a, b in zip(starts, ends):
+        if b - a == 1:
+            continue
+        last = p0s[a]
+        for i in range(a + 1, b):
+            if p0s[i] - last <= window:
+                keep[order[i]] = False
+            else:
+                last = p0s[i]
+    return keep
+
+
+def dedupe_parallel_groups(
+    groups: AnchorGroups, window: int
+) -> AnchorGroups:
+    """Drop groups that are shifted copies of a nearby kept group.
+
+    Adjacent minimizers of one conserved locus yield many groups whose
+    occurrence sets are parallel translates (same sequences, same strands,
+    identical position deltas). Extending every one is redundant — they all
+    grow into the same block and lose in overlap resolution. Key = (seqs,
+    strands, position deltas); within a key, groups whose first position is
+    within ``window`` of the previously kept group are dropped (the kept
+    seed's extension covers the same regions). Deterministic: groups are
+    scanned in canonical (key-sorted) order. Vectorized keying
+    (``_dedupe_keep_mask``), parity-tested against the exact per-group
+    oracle.
+    """
+    if groups.n_groups == 0:
+        return groups
+    keep = _dedupe_keep_mask(groups, window)
     if keep.all():
         return groups
     sizes = groups.sizes()[keep]

@@ -139,8 +139,12 @@ def build_pangenome(
         prev_hash = h
         k = max(cfg.MIN_ANCHOR_SIZE, k - (cfg.RESEED_SHRINK if round_no else 0))
         cons, src = consensus_arena(full)
-        groups = find_anchors(cons, cfg, k=k)
-        cand_cons = extend_anchor_groups(cons, groups, cfg, mesh=mesh)
+        # one consensus upload serves both the scan and the extension
+        cons_dev = jnp.asarray(cons.codes)
+        groups = find_anchors(cons, cfg, cons_dev, k=k)
+        cand_cons = extend_anchor_groups(
+            cons, groups, cfg, cons_dev, mesh=mesh
+        )
         mapped = deconseq(cand_cons, src, full)
         t.add("reseed", time.perf_counter() - t0)
         log(

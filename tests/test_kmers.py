@@ -201,3 +201,41 @@ def test_sid_from_offsets_matches_host():
     )
     np.testing.assert_array_equal(sid[:T], arena.seq_id_of_pos())
     assert (sid[T:] == -1).all()
+
+
+def test_dedupe_vectorized_matches_exact_oracle():
+    """The vectorized hash-keyed dedupe must keep exactly the same groups
+    as the per-group exact-key oracle, across random ragged group sets."""
+    from npge_tpu.algo.anchors import (
+        AnchorGroups,
+        _dedupe_keep_mask,
+        _dedupe_keep_mask_exact,
+    )
+
+    rng = np.random.default_rng(31)
+    for trial in range(30):
+        G = int(rng.integers(2, 60))
+        sizes = rng.integers(2, 6, G)
+        offsets = np.zeros(G + 1, np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        M = int(offsets[-1])
+        # build clusters of parallel translates: a few base patterns,
+        # each repeated at shifted positions
+        pos = np.zeros(M, np.int64)
+        seq = np.zeros(M, np.int32)
+        strand = np.zeros(M, np.int8)
+        for g in range(G):
+            a, b = offsets[g], offsets[g + 1]
+            pat = int(rng.integers(0, 4))
+            r = np.random.default_rng(pat)  # same pattern -> same deltas
+            deltas = r.integers(50, 5000, b - a - 1)
+            base = int(rng.integers(0, 40)) * 7  # clustered first positions
+            pos[a] = base
+            pos[a + 1 : b] = base + np.cumsum(deltas)
+            seq[a:b] = r.integers(0, 3, b - a)
+            strand[a:b] = r.choice([-1, 1], b - a)
+        g = AnchorGroups(15, offsets, pos, seq, strand)
+        for window in (0, 5, 25, 100):
+            want = _dedupe_keep_mask_exact(g, window)
+            got = _dedupe_keep_mask(g, window)
+            np.testing.assert_array_equal(got, want, err_msg=f"t{trial} w{window}")
