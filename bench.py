@@ -233,12 +233,16 @@ def bench_pipeline(prefix="pipeline"):
         n_genomes=3, length=1_000_000, seed=7,
         sub_rate=0.01, indel_rate=0.0002, n_inversions=2,
     )
+    from npge_tpu.ops.kmers import reset_scan_timings
+
     cfg = default_config()
+    reset_scan_timings()
     t0 = time.perf_counter()
     bs, tm = build_pangenome(arena, cfg)
     wall = time.perf_counter() - t0
     ext_s = tm.seconds.get("extend", 0.0)
     ext_cells = tm.counters.get("extend_cells", 0)
+    scan_t = reset_scan_timings()
     return {
         f"{prefix}_wall_s": round(wall, 1),
         f"{prefix}_extend_cells_per_sec": round(
@@ -247,6 +251,10 @@ def bench_pipeline(prefix="pipeline"):
         f"{prefix}_blocks": len(bs.blocks),
         f"{prefix}_stage_s": {
             k: round(v, 1) for k, v in tm.seconds.items()
+        },
+        f"{prefix}_scan_s": {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in scan_t.items()
         },
     }
 

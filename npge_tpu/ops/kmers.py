@@ -294,6 +294,20 @@ def _ratchet_on() -> bool:
     return _RATCHET[0]
 
 
+# accumulated wall per phase across calls (diagnosing remote-tunnel cost:
+# scan_sync = dispatch+compute+4-byte count readback; compact_fetch =
+# compaction dispatch + compact-row readback; host_sort = np.lexsort)
+SCAN_TIMINGS = {"scan_sync": 0.0, "compact_fetch": 0.0, "host_sort": 0.0,
+                "calls": 0}
+
+
+def reset_scan_timings() -> dict:
+    prev = dict(SCAN_TIMINGS)
+    for k_ in SCAN_TIMINGS:
+        SCAN_TIMINGS[k_] = 0.0 if k_ != "calls" else 0
+    return prev
+
+
 def find_anchor_occurrences(
     codes: jax.Array, seq_id_of: jax.Array | None, k: int, w: int,
     offsets: np.ndarray | None = None, mesh=None,
@@ -342,10 +356,15 @@ def find_anchor_occurrences(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         seq_id_of = jax.device_put(seq_id_of, NamedSharding(mesh, P("d")))
+    import time as _time
+
+    _t0 = _time.perf_counter()
     canon_hi, canon_lo, strand, sel, cnt = _scan_select(
         codes, seq_id_of, k, w
     )
     n = int(cnt)  # 4-byte sync; all big arrays stay device-resident
+    SCAN_TIMINGS["scan_sync"] += _time.perf_counter() - _t0
+    SCAN_TIMINGS["calls"] += 1
     if n == 0:
         e = np.zeros(0)
         return (
@@ -356,10 +375,14 @@ def find_anchor_occurrences(
     if _ratchet_on():
         cap = min(Tp, max(cap, _CAP_FLOOR[0]))
         _CAP_FLOOR[0] = cap
+    _t0 = _time.perf_counter()
     h, l, p, s = (
         np.asarray(x)[:n]
         for x in _compact_rows(canon_hi, canon_lo, strand, sel, cap)
     )
+    SCAN_TIMINGS["compact_fetch"] += _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     idx = p.astype(np.int64)
     order = np.lexsort((idx, l, h))
+    SCAN_TIMINGS["host_sort"] += _time.perf_counter() - _t0
     return h[order], l[order], idx[order], s[order]

@@ -224,6 +224,11 @@ def pad_for_sw(q_list, t_list, L: int, W: int = 128, TB: int = 128):
     tlen[1, Bp]) with the batch padded up to a multiple of TB."""
     B = len(q_list)
     Bp = -(-B // TB) * TB
+    # power-of-2 batch buckets: each distinct Bp is a separate compiled
+    # (Pallas) executable, and remote compiles cost 10-70 s on this
+    # machine's TPU tunnel — bucketing bounds the executable count at
+    # log(B) per process (SURVEY §7 hard part 3)
+    Bp = 1 << max(0, Bp - 1).bit_length()
     qp = np.full((Bp, L + 2 * W), 254, np.uint8)
     trp = np.full((Bp, L + 2 * W), 255, np.uint8)
     qlen = np.zeros((1, Bp), np.int32)
