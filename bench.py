@@ -261,10 +261,20 @@ def bench_pipeline(prefix="pipeline"):
 
 def _section_main(name: str) -> dict:
     """Child-process entry: run one section, return its result dict."""
+    import os
+
+    import jax
+
+    if os.environ.get("NPGE_FORCE_PLATFORM"):
+        # the JAX_PLATFORMS env var is overridden during jax import by this
+        # machine's device-tunnel sitecustomize (see tests/conftest.py);
+        # only jax.config set after import actually selects the backend
+        jax.config.update(
+            "jax_platforms", os.environ["NPGE_FORCE_PLATFORM"]
+        )
     from npge_tpu.util.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax
 
     rng = np.random.default_rng(0)
     if name == "sw":
@@ -346,7 +356,7 @@ def main():
     # for an honest same-machine-same-moment ratio.
     for name, budget, required, env_extra, needs_dev in (
         ("pipeline", 1200, True, None, True),
-        ("pipeline_cpu", 900, False, {"JAX_PLATFORMS": "cpu"}, False),
+        ("pipeline_cpu", 900, False, {"NPGE_FORCE_PLATFORM": "cpu"}, False),
         ("sw", 300, True, None, True),
         ("ext", 300, True, None, True),
         ("oracle", 180, False, None, True),
