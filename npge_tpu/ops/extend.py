@@ -48,7 +48,26 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, int(n) - 1).bit_length()
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("rows",))
+def _make_codes2_rows_p(codes: jax.Array, rows: int) -> jax.Array:
+    codes2 = make_codes2(codes)
+    pad = rows * _LANE - codes2.shape[0]
+    return jnp.pad(codes2, (0, pad), constant_values=4).reshape(-1, _LANE)
+
+
+# row-count ratchet, mirroring ops.kmers: every arena in a process pads to
+# at least the largest row count seen, so the reseed loop's shrinking
+# consensus arenas reuse the main arena's compiled extension executables
+# instead of compiling one set per power-of-2 size (remote compiles are
+# the dominant on-chip cost — see ROUND_NOTES). Controlled by the same
+# switch as the scan ratchet (on iff backend != cpu, or forced in tests).
+_ROWS_FLOOR = [0]
+
+
+def reset_rows_floor() -> None:
+    _ROWS_FLOOR[0] = 0
+
+
 def make_codes2_rows(codes: jax.Array) -> jax.Array:
     """Doubled arena reshaped to [N, 128] rows (padded with N=4 sentinel).
 
@@ -57,13 +76,17 @@ def make_codes2_rows(codes: jax.Array) -> jax.Array:
     log-step shift (see ``window_rows``). At least one extra all-sentinel row
     is appended so a window's trailing row read never needs clamping logic
     that could alias real data; the row count is rounded up to a power of two
-    so consensus arenas of nearby sizes reuse one compiled extension kernel
-    (SURVEY §7 hard part 3: recompilation pressure in the fixed-point loop).
+    (and ratcheted process-wide off-CPU) so consensus arenas reuse one
+    compiled extension kernel (SURVEY §7 hard part 3: recompilation
+    pressure in the fixed-point loop).
     """
-    codes2 = make_codes2(codes)
-    rows = _next_pow2(codes2.shape[0] // _LANE + 2)
-    pad = rows * _LANE - codes2.shape[0]
-    return jnp.pad(codes2, (0, pad), constant_values=4).reshape(-1, _LANE)
+    from npge_tpu.ops.kmers import _ratchet_on
+
+    rows = _next_pow2(int(codes.shape[0]) * 2 // _LANE + 2)
+    if _ratchet_on():
+        rows = max(rows, _ROWS_FLOOR[0])
+        _ROWS_FLOOR[0] = rows
+    return _make_codes2_rows_p(codes, rows)
 
 
 @partial(jax.jit, static_argnames=("chunk",))

@@ -281,11 +281,17 @@ _RATCHET: list[bool | None] = [None]
 
 
 def set_pad_ratchet(on: bool | None) -> None:
-    """Force the pad ratchet on/off (None = auto: on iff backend != cpu)."""
+    """Force the pad ratchet on/off (None = auto: on iff backend != cpu).
+
+    Controls the scan pad/cap floors here AND the extension row-count
+    floor (ops.extend), which keys off the same switch."""
     _RATCHET[0] = on
     if not on:
         _PAD_FLOOR[0] = 0
         _CAP_FLOOR[0] = 0
+        from npge_tpu.ops.extend import reset_rows_floor
+
+        reset_rows_floor()
 
 
 def _ratchet_on() -> bool:

@@ -209,3 +209,44 @@ def test_fused_rounds_match_host_loop():
     np.testing.assert_array_equal(np.asarray(er_f), np.asarray(er_h))
     # at least one group must actually have needed multiple rounds
     assert int(np.asarray(er_f)[0]) > chunk
+
+
+def test_rows_ratchet_invariance():
+    """Extension results must not depend on the codes2_rows row-count
+    ratchet (the compile saver for the reseed loop's shrinking arenas)."""
+    import jax.numpy as jnp
+
+    from npge_tpu.ops.extend import (
+        bases_for_groups, extend_rounds_rows, make_codes2_rows,
+    )
+    from npge_tpu.ops.kmers import set_pad_ratchet
+
+    rng = np.random.default_rng(21)
+    T = 5000
+    codes = rng.integers(0, 4, T).astype(np.uint8)
+    codes[2500:2600] = codes[100:200]  # a repeat to extend
+    B, F = 4, 2
+    lo = np.array([[100, 2500]] * B, np.int64) + np.arange(B)[:, None]
+    hi = lo + 17
+    ori = np.ones((B, F), np.int64)
+    fmask = np.ones((B, F), bool)
+    cap = np.full((B, F), 64, np.int32)
+    base_l, base_r = bases_for_groups(lo, hi, ori, T)
+
+    def run():
+        rows = make_codes2_rows(jnp.asarray(codes))
+        total, rnds = extend_rounds_rows(
+            rows, 2 * T, jnp.asarray(base_r), jnp.asarray(fmask),
+            jnp.asarray(cap), 9, 10, 32, 4,
+        )
+        return np.asarray(total)
+
+    base = run()
+    try:
+        set_pad_ratchet(True)
+        # seed the floor with a much larger arena
+        make_codes2_rows(jnp.asarray(rng.integers(0, 4, 60000).astype(np.uint8)))
+        ratcheted = run()
+    finally:
+        set_pad_ratchet(None)
+    np.testing.assert_array_equal(base, ratcheted)
