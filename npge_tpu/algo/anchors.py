@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax.numpy as jnp
+
 import numpy as np
 
 from npge_tpu.config import Config
@@ -207,7 +207,7 @@ def _cyclic_scan(arena: GenomeArena, k: int, w: int):
     codes_ext = np.concatenate(parts)
     # device-built seq ids from the extended offsets (no 4 B/pos upload)
     h, l, pos, strand = find_anchor_occurrences(
-        jnp.asarray(codes_ext), None, k, w, offsets=eoff
+        codes_ext, None, k, w, offsets=eoff
     )
     seq = np.searchsorted(eoff, pos, side="right") - 1
     lens = (arena.offsets[seq + 1] - arena.offsets[seq]).astype(np.int64)
@@ -235,9 +235,11 @@ def find_anchors(
 ) -> AnchorGroups:
     """Find anchor groups over the whole arena.
 
-    codes_dev/seq_id_dev may be passed to reuse device-resident arrays
-    across pipeline stages (linear-only arenas; arenas with circular
-    sequences take the cyclic-halo scan)."""
+    The scan uploads host codes padded host-side (no per-size device pad
+    program — see ops.kmers); ``codes_dev``/``seq_id_dev`` are accepted
+    for compatibility but the scan no longer needs device-resident
+    inputs (extension stages keep their own shared device arrays).
+    Arenas with circular sequences take the cyclic-halo scan."""
     k = k or cfg.ANCHOR_SIZE
     w = cfg.MINIMIZER_WINDOW
     if any(
@@ -246,12 +248,9 @@ def find_anchors(
     ):
         h, l, pos, strand = _cyclic_scan(arena, k, w)
         return form_groups(h, l, pos, strand, arena, cfg, k)
-    if codes_dev is None:
-        codes_dev = jnp.asarray(arena.codes)
-    # seq ids are built on device from the tiny offsets table unless the
-    # caller already holds a device-resident copy
+    # seq ids are built on device from the tiny offsets table
     h, l, pos, strand = find_anchor_occurrences(
-        codes_dev, seq_id_dev, k, cfg.MINIMIZER_WINDOW,
+        arena.codes, seq_id_dev, k, cfg.MINIMIZER_WINDOW,
         offsets=arena.offsets,
     )
     return form_groups(h, l, pos, strand, arena, cfg, k)

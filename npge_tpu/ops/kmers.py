@@ -343,7 +343,14 @@ def find_anchor_occurrences(
     if Tp >= 1 << 31:
         raise ValueError("arena too large for int32 positions")
     if Tp != T:
-        codes = jnp.pad(codes, (0, Tp - T), constant_values=4)
+        if isinstance(codes, np.ndarray):
+            # host-side pad: a device jnp.pad would compile one (tiny)
+            # program per arena size — the reseed loop sees a new size
+            # every round, and even tiny remote compiles cost seconds on
+            # this machine (see ROUND_NOTES)
+            codes = np.pad(codes, (0, Tp - T), constant_values=4)
+        else:
+            codes = jnp.pad(codes, (0, Tp - T), constant_values=4)
     if mesh is not None and Tp % mesh.devices.size == 0:
         # position-sharded scan: inputs ride the mesh, XLA SPMD inserts the
         # halo exchanges for the shifted-window ops (SURVEY §2.6); the

@@ -12,7 +12,6 @@ candidate compaction goes through one deterministic host-side sort
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from npge_tpu.config import Config
@@ -36,7 +35,7 @@ def sharded_anchor_occurrences(
     k = k or cfg.ANCHOR_SIZE
     mesh = mesh or make_mesh()
     return find_anchor_occurrences(
-        jnp.asarray(arena.codes), None, k, cfg.MINIMIZER_WINDOW,
+        arena.codes, None, k, cfg.MINIMIZER_WINDOW,
         offsets=arena.offsets, mesh=mesh,
     )
 
