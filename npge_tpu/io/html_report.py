@@ -1,10 +1,22 @@
-"""Self-contained HTML report — textual analog of the qnpge GUI.
+"""Self-contained HTML report — the qnpge GUI analog.
 
 The reference ships a Qt GUI (``qnpge``: BlockSetWidget block table +
-AlignmentView colored alignment browser, SURVEY.md §2.5 ⚠[B]); per SURVEY
-§2.6 the GUI is out of scope for the metric and textual reports come first.
-This module renders the same information — summary, sortable block table,
-colored per-block alignment views — into one dependency-free HTML file.
+AlignmentView colored alignment browser over a per-genome block map,
+SURVEY.md §2.5 ⚠[B]); per SURVEY §2.6 the GUI is out of scope for the
+metric, so this module renders the same information into one
+dependency-free HTML file:
+
+  - summary line;
+  - an SVG **genome map**: one track per sequence, segments colored by
+    block type (s/r/h; unique blocks draw as thin neutral ticks — a
+    second, non-color encoding), native hover tooltips, click-to-jump
+    to the alignment view;
+  - a **sortable, filterable block table** (vanilla JS, no deps);
+  - colored per-block **alignment views**.
+
+Colors are the first three slots of the validated reference categorical
+palette (documented all-pairs safe in light and dark modes), stepped for
+dark mode; text wears text tokens, never series colors.
 """
 
 from __future__ import annotations
@@ -15,24 +27,74 @@ import numpy as np
 
 from npge_tpu.config import Config
 from npge_tpu.model.blocks import Block, BlockSet
+from npge_tpu.model.naming import block_type
 from npge_tpu.model.stats import column_classes, make_stat
 from npge_tpu.io.bs import fragment_id
 from npge_tpu.util import codes as C
 
+# block type -> categorical slot (s=blue, r=orange, h=aqua; u = neutral).
+# Light/dark values are the reference palette's documented steps.
+_TYPE_SLOT = {"s": 1, "r": 2, "h": 3}
+
 _CSS = """
-body { font-family: system-ui, sans-serif; margin: 1.5em; }
+body { font-family: system-ui, sans-serif; margin: 1.5em;
+       color-scheme: light;
+       --surface-1: #fcfcfb; --text-primary: #0b0b0b;
+       --text-secondary: #52514e; --grid: #ddd;
+       --series-1: #2a78d6; --series-2: #eb6834; --series-3: #1baf7a;
+       --neutral: #b9b8b3;
+       background: var(--surface-1); color: var(--text-primary); }
+@media (prefers-color-scheme: dark) {
+  body { color-scheme: dark;
+         --surface-1: #1a1a19; --text-primary: #ffffff;
+         --text-secondary: #c3c2b7; --grid: #3a3a38;
+         --series-1: #3987e5; --series-2: #d95926; --series-3: #199e70;
+         --neutral: #6b6a66; }
+}
 table { border-collapse: collapse; margin: 1em 0; }
-td, th { border: 1px solid #ccc; padding: 2px 8px; font-size: 13px; }
-th { background: #f0f0f0; }
+td, th { border: 1px solid var(--grid); padding: 2px 8px; font-size: 13px; }
+th { background: color-mix(in srgb, var(--text-primary) 6%, transparent);
+     cursor: pointer; user-select: none; }
 .aln { font-family: ui-monospace, monospace; font-size: 12px;
        white-space: pre; line-height: 1.1; overflow-x: auto;
-       border: 1px solid #ddd; padding: 4px; }
-.A { background:#c8e6c9 } .C { background:#bbdefb }
-.G { background:#fff9c4 } .T { background:#ffcdd2 }
-.N { background:#eeeeee } .gap { color:#999 }
+       border: 1px solid var(--grid); padding: 4px; }
+.A { background:#c8e6c9; color:#0b0b0b } .C { background:#bbdefb; color:#0b0b0b }
+.G { background:#fff9c4; color:#0b0b0b } .T { background:#ffcdd2; color:#0b0b0b }
+.N { background:#eeeeee; color:#0b0b0b } .gap { color:var(--text-secondary) }
 .mis { outline: 1px solid #d32f2f; }
 h3 { margin-bottom: 0.2em; }
-.meta { color: #666; font-size: 13px; }
+.meta { color: var(--text-secondary); font-size: 13px; }
+.map text { font-size: 11px; fill: var(--text-secondary);
+            font-family: system-ui, sans-serif; }
+.map rect.t1 { fill: var(--series-1); } .map rect.t2 { fill: var(--series-2); }
+.map rect.t3 { fill: var(--series-3); } .map rect.tu { fill: var(--neutral); }
+.map rect:hover { stroke: var(--text-primary); stroke-width: 1; }
+.legend { font-size: 13px; color: var(--text-secondary); margin: 0.4em 0; }
+.legend span.swatch { display: inline-block; width: 12px; height: 12px;
+       border-radius: 3px; vertical-align: -2px; margin: 0 4px 0 12px; }
+#filter { margin: 0.4em 0; padding: 2px 6px; }
+"""
+
+_JS = """
+function sortTable(col) {
+  const tb = document.getElementById('blocks');
+  const rows = Array.from(tb.tBodies[0].rows);
+  const dir = tb.dataset.sc == col ? -(+tb.dataset.sd || 1) : 1;
+  tb.dataset.sc = col; tb.dataset.sd = dir;
+  rows.sort((a, b) => {
+    const x = a.cells[col].dataset.v ?? a.cells[col].textContent;
+    const y = b.cells[col].dataset.v ?? b.cells[col].textContent;
+    const nx = parseFloat(x), ny = parseFloat(y);
+    if (!isNaN(nx) && !isNaN(ny)) return dir * (nx - ny);
+    return dir * x.localeCompare(y);
+  });
+  rows.forEach(r => tb.tBodies[0].appendChild(r));
+}
+function filterTable() {
+  const q = document.getElementById('filter').value.toLowerCase();
+  for (const r of document.getElementById('blocks').tBodies[0].rows)
+    r.style.display = r.textContent.toLowerCase().includes(q) ? '' : 'none';
+}
 """
 
 
@@ -72,6 +134,75 @@ def _block_view(b: Block, bs: BlockSet, max_cols: int) -> str:
     )
 
 
+def _genome_map(bs: BlockSet, linked: set[str]) -> str:
+    """One SVG track per sequence; fragments colored by block type.
+
+    Unique (u) blocks render as thin neutral ticks — type is encoded by
+    color AND mark height, so the map survives CVD/print. Hover = native
+    <title> tooltip; click jumps to the block's alignment view when one
+    is rendered."""
+    arena = bs.arena
+    genome_of_seq = arena.genome_id_of_seq()
+    n_genomes = len(arena.genomes())
+    W = 1000
+    track_h, gap, label_w = 14, 7, 0
+    n = arena.n_seqs
+    H = n * (track_h + gap) + 18
+    maxlen = max(arena.seq_len(i) for i in range(n)) or 1
+    parts = [
+        f'<svg class="map" viewBox="0 0 {W} {H}" width="100%" '
+        f'style="max-width:1100px" role="img" '
+        f'aria-label="genome block map">'
+    ]
+    for i in range(n):
+        y = 14 + i * (track_h + gap)
+        name = arena.names[i].split("&")[0]
+        parts.append(f'<text x="0" y="{y - 2}">{html.escape(name)}</text>')
+        sl = arena.seq_len(i)
+        parts.append(
+            f'<rect x="0" y="{y + track_h // 2 - 1}" '
+            f'width="{W * sl / maxlen:.1f}" height="2" class="tu"/>'
+        )
+    for b in bs.blocks:
+        t = block_type(b, genome_of_seq, n_genomes)
+        slot = _TYPE_SLOT.get(t)
+        cls = f"t{slot}" if slot else "tu"
+        for i in range(b.n_frags):
+            s, st, ln, o = b.frags.row(i)
+            y = 14 + s * (track_h + gap)
+            x0 = W * st / maxlen
+            wd = max(W * ln / maxlen, 1.0)
+            if slot is None:  # unique: thin neutral tick (second encoding)
+                y0, h = y + track_h // 4, track_h // 2
+            else:
+                y0, h = y, track_h
+            tip = html.escape(
+                f"{b.name or '?'} [{t}] {ln} bp @ {st} "
+                f"{'+' if o == 1 else '-'}"
+            )
+            rect = (
+                f'<rect x="{x0:.1f}" y="{y0}" width="{wd:.1f}" '
+                f'height="{h}" rx="1" class="{cls}">'
+                f"<title>{tip}</title></rect>"
+            )
+            if b.name in linked:
+                rect = f'<a href="#{html.escape(b.name)}">{rect}</a>'
+            parts.append(rect)
+    parts.append("</svg>")
+    legend = (
+        '<div class="legend">block type:'
+        '<span class="swatch" style="background:var(--series-1)"></span>s '
+        "(one fragment per genome)"
+        '<span class="swatch" style="background:var(--series-2)"></span>r '
+        "(repeat)"
+        '<span class="swatch" style="background:var(--series-3)"></span>h '
+        "(subset of genomes)"
+        '<span class="swatch" style="background:var(--neutral)"></span>u '
+        "(unique, thin)</div>"
+    )
+    return "<h2>Genome map</h2>" + legend + "".join(parts)
+
+
 def write_report(
     bs: BlockSet,
     path: str,
@@ -82,38 +213,56 @@ def write_report(
     from npge_tpu.algo.reports import blockset_summary
 
     s = blockset_summary(bs, cfg)
+    genome_of_seq = bs.arena.genome_id_of_seq()
+    n_genomes = len(bs.arena.genomes())
     parts = [
         "<!doctype html><meta charset='utf-8'><title>npge-tpu report</title>",
-        f"<style>{_CSS}</style>",
+        f"<style>{_CSS}</style><script>{_JS}</script>",
         "<h1>npge-tpu pangenome report</h1>",
         f"<div class='meta'>genomes: {s['genomes']} | sequences: "
         f"{s['sequences']} | total {s['total_length']} bp | blocks: "
         f"{s['blocks']} | shared: {100 * s['shared_fraction']:.2f}% | "
         f"hash: {s['blockset_hash']}</div>",
-        "<h2>Blocks</h2>",
-        "<table><tr><th>name</th><th>fragments</th><th>columns</th>"
-        "<th>identity</th><th>view</th></tr>",
     ]
-    shown = 0
     order = sorted(
         range(len(bs.blocks)),
         key=lambda i: (-bs.blocks[i].n_frags * bs.blocks[i].n_cols, i),
     )
-    views = []
+    views, linked = [], set()
+    shown = 0
+    rows_html = []
     for i in order:
         b = bs.blocks[i]
         st = make_stat(b, bs.arena)
         idn = st.ident_nogap / max(st.total, 1)
+        t = block_type(b, genome_of_seq, n_genomes)
         link = ""
         if b.n_frags >= 2 and shown < max_blocks:
             link = f"<a href='#{html.escape(b.name or '')}'>view</a>"
             views.append(_block_view(b, bs, max_cols))
+            linked.add(b.name)
             shown += 1
-        parts.append(
-            f"<tr><td>{html.escape(b.name or '?')}</td><td>{b.n_frags}</td>"
-            f"<td>{b.n_cols}</td><td>{idn:.4f}</td><td>{link}</td></tr>"
+        rows_html.append(
+            f"<tr><td>{html.escape(b.name or '?')}</td><td>{t}</td>"
+            f"<td data-v='{b.n_frags}'>{b.n_frags}</td>"
+            f"<td data-v='{b.n_cols}'>{b.n_cols}</td>"
+            f"<td data-v='{idn:.4f}'>{idn:.4f}</td><td>{link}</td></tr>"
         )
-    parts.append("</table><h2>Alignments</h2>")
+    parts.append(_genome_map(bs, linked))
+    parts.append(
+        "<h2>Blocks</h2>"
+        "<input id='filter' placeholder='filter blocks…' "
+        "oninput='filterTable()'>"
+        "<table id='blocks'><thead><tr>"
+        "<th onclick='sortTable(0)'>name</th>"
+        "<th onclick='sortTable(1)'>type</th>"
+        "<th onclick='sortTable(2)'>fragments</th>"
+        "<th onclick='sortTable(3)'>columns</th>"
+        "<th onclick='sortTable(4)'>identity</th>"
+        "<th>view</th></tr></thead><tbody>"
+    )
+    parts.extend(rows_html)
+    parts.append("</tbody></table><h2>Alignments</h2>")
     parts.extend(views)
     with open(path, "w") as fh:
         fh.write("\n".join(parts))
