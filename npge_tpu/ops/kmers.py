@@ -210,13 +210,141 @@ def kmer_scan_dyn(codes: jax.Array, seq_id_of: jax.Array, k):
     return canon_hi, canon_lo, strand, valid
 
 
+def _shl_pair(h, l, s: int):
+    """(hi,lo) << s bits, s STATIC in [0, 64]. No carries needed by the
+    ladder (shifted-in low bits are always zero before the OR)."""
+    if s == 0:
+        return h, l
+    if s >= 64:
+        z = jnp.zeros_like(l)
+        return z, z
+    if s >= 32:
+        return l << jnp.uint32(s - 32) if s > 32 else l, jnp.zeros_like(l)
+    return (h << jnp.uint32(s)) | (l >> jnp.uint32(32 - s)), l << jnp.uint32(s)
+
+
+def _ladder_levels(vals: jax.Array):
+    """Doubling ladder of big-endian 2-bit polynomial values.
+
+    vals: uint32[E] base codes over the extended domain. Returns
+    {m: (hi, lo)} for m in 1,2,4,8,16,32 where level m holds the value of
+    the m-wide window starting at each position (positions whose window
+    runs off the end hold garbage — callers mask via the N ladder).
+    V_{2m}(t) = V_m(t) << 2m | V_m(t+m): all shifts static, no loops.
+    """
+    E = vals.shape[0]
+    lv = {1: (jnp.zeros(E, jnp.uint32), vals)}
+    for m in (1, 2, 4, 8, 16):
+        h, l = lv[m]
+        sh = jnp.concatenate([h[m:], jnp.zeros(m, jnp.uint32)])
+        sl = jnp.concatenate([l[m:], jnp.zeros(m, jnp.uint32)])
+        hh, ll = _shl_pair(h, l, 2 * m)
+        lv[2 * m] = (hh | sh, ll | sl)
+    return lv
+
+
+def _ladder_n(nmask: jax.Array):
+    """{m: bool[E]} OR-ladder: window [t, t+m) contains an N (True fill —
+    windows running off the end are invalid)."""
+    E = nmask.shape[0]
+    lv = {1: nmask}
+    for m in (1, 2, 4, 8, 16):
+        x = lv[m]
+        lv[2 * m] = x | jnp.concatenate(
+            [x[m:], jnp.ones(m, jnp.bool_)]
+        )
+    return lv
+
+
+def _assemble_k(lv, ln, k, E: int):
+    """Combine ladder levels into the k-wide window value (k TRACED).
+
+    Walks k's bits MSB->LSB: acc <<= 2m then ORs in level m at the
+    accumulated offset (one traced-start dynamic_slice per level — the
+    only dynamic indexing in the whole scan). Returns (hi, lo, has_n)
+    over the full extended domain."""
+    acc_h = jnp.zeros(E, jnp.uint32)
+    acc_l = jnp.zeros(E, jnp.uint32)
+    acc_n = jnp.zeros(E, jnp.bool_)
+    off = jnp.int32(0)
+    zpad = jnp.zeros(32, jnp.uint32)
+    npad = jnp.ones(32, jnp.bool_)
+    for m in (32, 16, 8, 4, 2, 1):
+        take = (k & m) > 0
+        h, l = lv[m]
+        th = jax.lax.dynamic_slice(jnp.concatenate([h, zpad]), (off,), (E,))
+        tl = jax.lax.dynamic_slice(jnp.concatenate([l, zpad]), (off,), (E,))
+        tn = jax.lax.dynamic_slice(
+            jnp.concatenate([ln[m], npad]), (off,), (E,)
+        )
+        sh_h, sh_l = _shl_pair(acc_h, acc_l, 2 * m)
+        acc_h = jnp.where(take, sh_h | th, acc_h)
+        acc_l = jnp.where(take, sh_l | tl, acc_l)
+        acc_n = jnp.where(take, acc_n | tn, acc_n)
+        off = off + jnp.where(take, jnp.int32(m), jnp.int32(0))
+    return acc_h, acc_l, acc_n
+
+
+@jax.jit
+def kmer_scan_ladder(codes: jax.Array, seq_id_of: jax.Array, k):
+    """``kmer_scan_dyn`` re-formulated as a log-step ladder (bit-identical,
+    tests assert): static-shift doubling levels + six traced-offset
+    dynamic slices, NO fori_loop and NO per-iteration dynamic slicing —
+    a far smaller compile surface for this machine's erratic
+    remote-compile service (see ROUND_NOTES), and pure VPU work at run
+    time. The reverse complement reuses the same ladder on the reversed
+    complemented arena: R_k(p) = F_k^{rev-comp}(E - k - p), realized as
+    one traced-start slice of the reversed ladder output.
+    """
+    T = codes.shape[0]
+    KMAX = 32
+    k = jnp.asarray(k, jnp.int32)
+    c = codes.astype(jnp.uint32)
+    cext = jnp.concatenate([c, jnp.full((KMAX,), 4, jnp.uint32)])
+    E = T + KMAX
+    nmask = cext >= 4
+    # forward ladder on the arena
+    f_h, f_l, has_n = _assemble_k(
+        _ladder_levels(cext), _ladder_n(nmask), k, E
+    )
+    f_hi, f_lo = f_h[:T], f_l[:T]
+    has_n = has_n[:T]
+    # revcomp via the mirrored ladder: crev[t] = 3 - cext[E-1-t]
+    crev = (jnp.uint32(3) - cext[::-1]) & jnp.uint32(0xFFFFFFFF)
+    g_h, g_l, _ = _assemble_k(
+        _ladder_levels(crev), _ladder_n(nmask[::-1]), k, E
+    )
+    # R_k(p) = G_k(E - k - p) = rev(G_k)[p + k - 1]
+    r_hi = jax.lax.dynamic_slice(
+        jnp.concatenate([g_h[::-1], jnp.zeros(KMAX, jnp.uint32)]),
+        (k - 1,), (T,),
+    )
+    r_lo = jax.lax.dynamic_slice(
+        jnp.concatenate([g_l[::-1], jnp.zeros(KMAX, jnp.uint32)]),
+        (k - 1,), (T,),
+    )
+    sid_ext = jnp.concatenate([seq_id_of, jnp.full((KMAX,), -1, jnp.int32)])
+    same_seq = jax.lax.dynamic_slice(sid_ext, (k - 1,), (T,)) == seq_id_of
+    valid = same_seq & ~has_n
+    fwd_min = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo < r_lo))
+    palindrome = (f_hi == r_hi) & (f_lo == r_lo)
+    canon_hi = jnp.where(fwd_min, f_hi, r_hi)
+    canon_lo = jnp.where(fwd_min, f_lo, r_lo)
+    strand = jnp.where(
+        palindrome, jnp.int8(0), jnp.where(fwd_min, jnp.int8(1), jnp.int8(-1))
+    )
+    return canon_hi, canon_lo, strand, valid
+
+
 @partial(jax.jit, static_argnames=("w",))
 def _scan_select(codes, seq_id_of, k, w: int):
     """Fused scan + minimizer selection; returns device arrays
     (canon_hi, canon_lo, strand, selection mask, count). Everything stays
     on device — only the int32 count (4 bytes) need cross to the host. k
     is traced (one compile per arena shape, not per k)."""
-    canon_hi, canon_lo, strand, valid = kmer_scan_dyn(codes, seq_id_of, k)
+    canon_hi, canon_lo, strand, valid = kmer_scan_ladder(
+        codes, seq_id_of, k
+    )
     sel = minimizer_mask(canon_hi, canon_lo, valid, w) & (strand != 0)
     return canon_hi, canon_lo, strand, sel, jnp.sum(sel, dtype=jnp.int32)
 

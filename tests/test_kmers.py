@@ -239,3 +239,29 @@ def test_dedupe_vectorized_matches_exact_oracle():
             want = _dedupe_keep_mask_exact(g, window)
             got = _dedupe_keep_mask(g, window)
             np.testing.assert_array_equal(got, want, err_msg=f"t{trial} w{window}")
+
+
+def test_kmer_scan_ladder_matches_dyn():
+    """The log-step ladder scan must be bit-identical to the fori-loop
+    formulation for every k, across sequence boundaries and N runs."""
+    from npge_tpu.ops.kmers import kmer_scan_dyn, kmer_scan_ladder
+
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 5, 4000).astype(np.uint8)  # with N codes
+    sid = np.zeros(4000, np.int32)
+    sid[900:] = 1
+    sid[2100:] = 2
+    cj, sj = jnp.asarray(codes), jnp.asarray(sid)
+    for k in range(1, 33):
+        a = kmer_scan_dyn(cj, sj, k)
+        b = kmer_scan_ladder(cj, sj, k)
+        v = np.asarray(a[3])
+        np.testing.assert_array_equal(
+            v, np.asarray(b[3]), err_msg=f"k={k} valid"
+        )
+        # values at INVALID positions are unspecified garbage in both
+        # formulations (masked by every consumer); compare valid ones
+        for x, y, name in zip(a[:3], b[:3], ("hi", "lo", "strand")):
+            np.testing.assert_array_equal(
+                np.asarray(x)[v], np.asarray(y)[v], err_msg=f"k={k} {name}"
+            )
