@@ -149,11 +149,14 @@ class Block:
         keep = (sub != C.GAP).any(axis=1)
         if not keep.any():
             return None
+        # consumed text positions before c0/c1 for ALL rows in two
+        # vectorized partial sums (one per boundary, not per row)
+        nongap = self.alignment != C.GAP
+        t0s = nongap[:, :c0].sum(axis=1)
+        t1s = t0s + nongap[:, c0:c1].sum(axis=1)
         rows = []
         for i in np.flatnonzero(keep):
-            t0 = self.row_positions_consumed(int(i), c0)
-            t1 = self.row_positions_consumed(int(i), c1)
-            rows.append(self._subfragment(int(i), t0, t1))
+            rows.append(self._subfragment(int(i), int(t0s[i]), int(t1s[i])))
         return Block(FragmentTable.from_rows(rows), sub[keep].copy())
 
     def inverse(self) -> "Block":
