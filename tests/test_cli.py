@@ -54,3 +54,23 @@ def test_cli_rejects_unknown_option(world):
     main(["prepare", "--fasta", *paths, "-w", w])
     with pytest.raises(AttributeError):
         main(["check", "-w", w, "-o", "NOT_A_KNOB=1"])
+
+
+def test_report_has_genome_map_and_table(world, tmp_path):
+    """The HTML report (qnpge analog) carries the SVG genome map with
+    tooltips + anchors that resolve, and the sortable/filterable table."""
+    import re
+
+    tmp, paths = world
+    w = str(tmp / "repwork")
+    main(["prepare", "--fasta", *paths, "-w", w])
+    main(["make-pangenome", "-w", w, "-o", "ANCHOR_SIZE=17",
+          "-o", "MIN_LENGTH=60", "-o", "MIN_END=3"])
+    main(["report", "-w", w])
+    t = open(os.path.join(w, "report.html")).read()
+    assert '<svg class="map"' in t
+    assert "<title>" in t and "sortTable" in t and "filterTable" in t
+    assert "prefers-color-scheme: dark" in t
+    ids = set(re.findall(r'id="([^"]+)"', t))
+    for m in set(re.findall(r'<a href="#([^"]+)">', t)):
+        assert m in ids, f"dangling anchor {m}"
