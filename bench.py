@@ -354,12 +354,17 @@ def main():
     # sustained traffic (see ROUND_NOTES), so the headline end-to-end
     # number gets the freshest link; the CPU-backend twin runs in-session
     # for an honest same-machine-same-moment ratio.
+    # NOTE: no byte-gather "oracle" section by default — its remote compile
+    # exceeds any sane budget on this machine, and a timed-out section
+    # leaves an ORPHANED server-side compile that stalls executable loads
+    # of the NEXT runs for minutes (measured: a cached-warm scan dispatch
+    # took 206s while the service chewed an orphan vs 0.9-3.8s free).
+    # Opt in with: python bench.py --section oracle
     for name, budget, required, env_extra, needs_dev in (
         ("pipeline", 1200, True, None, True),
         ("pipeline_cpu", 900, False, {"NPGE_FORCE_PLATFORM": "cpu"}, False),
         ("sw", 300, True, None, True),
         ("ext", 300, True, None, True),
-        ("oracle", 180, False, None, True),
     ):
         if needs_dev and not device_ok:
             if required:
