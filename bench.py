@@ -306,6 +306,25 @@ def _section_main(name: str) -> dict:
 
         v = int(jax.jit(lambda x: (x * x).sum())(jnp.arange(512)))
         return {"probe_ok": v == 44608256, "device": str(jax.devices()[0])}
+    if name == "tpu":
+        # ALL TPU measurements in one process: the first dispatch of every
+        # fresh process waits minutes for the device claim on this
+        # machine's tunnel (measured 3s-12min, pure server-side wait) —
+        # pay it once, then pipeline+sw+ext all run warm.
+        out = bench_pipeline()
+        sw_tpu, sw_cpu, sw_agree = bench_sw(rng)
+        out.update({
+            "value": round(sw_tpu, 0),
+            "vs_baseline": round(sw_tpu / sw_cpu, 2),
+            "baseline_def": (
+                "vectorized-NumPy same band recurrence, this host"
+            ),
+            "cpu_sw_cells_per_sec": round(sw_cpu, 0),
+            "sw_results_match_cpu": sw_agree,
+            "device": str(jax.devices()[0]),
+        })
+        out["extension_cells_per_sec"] = round(bench_extension(rng), 0)
+        return out
     raise SystemExit(f"unknown section {name}")
 
 
@@ -343,35 +362,17 @@ def main():
         "unit": "cells/s",
         "vs_baseline": 0,
     }
-    # a probe first: if the device tunnel is wedged (this machine's
-    # recurring failure mode), record the error and skip the SECONDARY
-    # TPU sections. The pipeline section still gets one attempt either
-    # way — a tunnel busy behind an orphaned compile recovers within
-    # minutes, and the pipeline number is the headline artifact.
-    probe, probe_err = _run_section("probe", 240)
-    device_ok = bool(probe and probe.get("probe_ok"))
-    if not device_ok:
-        out["device_error"] = probe_err or str(probe)
-    # pipeline FIRST among TPU sections: the tunnel degrades under
-    # sustained traffic (see ROUND_NOTES), so the headline end-to-end
-    # number gets the freshest link; the CPU-backend twin runs in-session
-    # for an honest same-machine-same-moment ratio.
-    # NOTE: no byte-gather "oracle" section by default — its remote compile
-    # exceeds any sane budget on this machine, and a timed-out section
-    # leaves an ORPHANED server-side compile that stalls executable loads
-    # of the NEXT runs for minutes (measured: a cached-warm scan dispatch
-    # took 206s while the service chewed an orphan vs 0.9-3.8s free).
-    # Opt in with: python bench.py --section oracle
-    for name, budget, required, env_extra, needs_dev in (
-        ("pipeline", 1200, True, None, False),  # always attempted
-        ("pipeline_cpu", 900, False, {"NPGE_FORCE_PLATFORM": "cpu"}, False),
-        ("sw", 300, True, None, True),
-        ("ext", 300, True, None, True),
+    # One combined TPU subprocess (pipeline + sw + ext): the first
+    # dispatch of every fresh process on this machine waits minutes for
+    # the device claim (measured 3s-12min of pure server-side wait), so
+    # the TPU work pays it once. NOTE: no byte-gather "oracle" section by
+    # default - its remote compile exceeds any sane budget here, and a
+    # timed-out section leaves an ORPHANED server-side compile that
+    # stalls the next runs. Opt in with: python bench.py --section oracle
+    for name, budget, required, env_extra in (
+        ("tpu", 1800, True, None),
+        ("pipeline_cpu", 900, False, {"NPGE_FORCE_PLATFORM": "cpu"}),
     ):
-        if needs_dev and not device_ok:
-            if required:
-                out[f"{name}_error"] = "skipped: device probe failed"
-            continue
         res, err = _run_section(name, budget, env_extra)
         if res is not None:
             out.update(res)
