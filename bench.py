@@ -21,10 +21,13 @@ Secondary numbers (extra JSON keys, VERDICT r2 item 1):
     default backend, with `pipeline_vs_cpu_backend` against the recorded
     34 s CPU-backend wall for the same config (benchmarks/README.md).
 
-Every section runs in its OWN SUBPROCESS under a hard timeout: a wedged TPU
-tunnel (this environment's failure mode — a hung device call is NOT
-interruptible by SIGALRM) kills only that section; the parent process never
-touches the device and always prints the one JSON line.
+Two subprocesses, each under a hard timeout: one for ALL TPU measurements
+(pipeline + SW + extension — the first dispatch of a fresh process waits
+minutes for the device claim on this machine, so the TPU work pays it
+once) and one for the CPU-backend twin. A wedged TPU tunnel (this
+environment's failure mode — a hung device call is NOT interruptible by
+SIGALRM) kills only that subprocess; the parent never touches the device
+and always prints the one JSON line.
 """
 
 from __future__ import annotations
@@ -310,8 +313,19 @@ def _section_main(name: str) -> dict:
         # ALL TPU measurements in one process: the first dispatch of every
         # fresh process waits minutes for the device claim on this
         # machine's tunnel (measured 3s-12min, pure server-side wait) —
-        # pay it once, then pipeline+sw+ext all run warm.
+        # pay it once, MEASURED SEPARATELY via a trivial jit so the
+        # pipeline walls report work, not tunnel lease administration.
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        jax.jit(lambda x: (x * x).sum())(jnp.arange(512)).block_until_ready()
+        claim_s = time.perf_counter() - t0
         out = bench_pipeline()
+        out["device_claim_wait_s"] = round(claim_s, 1)
+        # steady-state rerun: all executables loaded, device claimed
+        warm = bench_pipeline(prefix="pipeline_warm")
+        out["pipeline_warm_wall_s"] = warm["pipeline_warm_wall_s"]
+        out["pipeline_warm_stage_s"] = warm["pipeline_warm_stage_s"]
         sw_tpu, sw_cpu, sw_agree = bench_sw(rng)
         out.update({
             "value": round(sw_tpu, 0),
