@@ -397,6 +397,10 @@ def main():
         out["pipeline_vs_cpu_backend"] = round(
             cpu_wall / out["pipeline_wall_s"], 2
         )
+    if out.get("pipeline_warm_wall_s"):
+        out["pipeline_warm_vs_cpu_backend"] = round(
+            cpu_wall / out["pipeline_warm_wall_s"], 2
+        )
     print(json.dumps(out), flush=True)
 
 
