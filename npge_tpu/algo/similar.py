@@ -164,8 +164,17 @@ def _merge_into(profile_rows: list[np.ndarray], seg: np.ndarray,
     counts = np.stack([(prof == x).sum(axis=0) for x in range(C.N_REAL_BASES)])
     cons = counts.argmax(axis=0).astype(np.uint8)
     cons = np.where(counts.max(axis=0) > 0, cons, np.uint8(C.N))
+    seg = np.asarray(seg, np.uint8)
+    if len(seg) == len(cons) and np.array_equal(cons, seg):
+        # identical-to-consensus fast path: NW of equal sequences is the
+        # all-diagonal alignment (traceback prefers diag), so the merge
+        # is a plain append — bit-identical to the general path. Joins
+        # splice mostly-identical indel segments, so this removes the
+        # dominant share of the ~10^5 tiny NW calls per large-world join
+        # fixpoint (see ROUND_NOTES r3 join profile).
+        return [*profile_rows, seg]
     align = aligner or nw_align
-    rc, rs = align(cons, np.asarray(seg, np.uint8), match, mismatch, gap)
+    rc, rs = align(cons, seg, match, mismatch, gap)
     out_rows = []
     for row in profile_rows:
         new = np.full(len(rc), C.GAP, np.uint8)

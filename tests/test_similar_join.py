@@ -85,3 +85,61 @@ def test_gap_join_respects_goodness():
         ],
     )
     assert joinable_pairs(bs, cfg) == []
+
+
+def test_merge_into_fast_path_parity():
+    """The identical-to-consensus fast path must be bit-identical to the
+    general NW merge across random segment sets (incl. equal, prefix, and
+    divergent segments)."""
+    import numpy as np
+
+    from npge_tpu.algo.similar import msa_short, nw_align
+    from npge_tpu.util import codes as C
+
+    def merge_general(profile_rows, seg):
+        # replica of the pre-fast-path _merge_into (general NW merge)
+        if not profile_rows:
+            return [np.asarray(seg, np.uint8)]
+        prof = np.stack(profile_rows)
+        counts = np.stack(
+            [(prof == x).sum(axis=0) for x in range(C.N_REAL_BASES)]
+        )
+        cons = counts.argmax(axis=0).astype(np.uint8)
+        cons = np.where(counts.max(axis=0) > 0, cons, np.uint8(C.N))
+        rc, rs = nw_align(cons, np.asarray(seg, np.uint8))
+        out_rows = []
+        for row in profile_rows:
+            new = np.full(len(rc), C.GAP, np.uint8)
+            new[rc != C.GAP] = row
+            out_rows.append(new)
+        out_rows.append(np.asarray(rs, np.uint8))
+        return out_rows
+
+    def msa_general(segments):
+        order = sorted(
+            range(len(segments)), key=lambda i: (-len(segments[i]), i)
+        )
+        rows = []
+        for idx in order:
+            rows = merge_general(rows, segments[idx])
+        width = len(rows[0]) if rows else 0
+        out = np.full((len(segments), width), C.GAP, np.uint8)
+        for pos, idx in enumerate(order):
+            out[idx] = rows[pos]
+        return out
+
+    rng = np.random.default_rng(8)
+    for _ in range(40):
+        base = rng.integers(0, 4, int(rng.integers(1, 12))).astype(np.uint8)
+        segs = []
+        for _ in range(int(rng.integers(1, 5))):
+            s = base.copy()
+            if rng.random() < 0.5 and len(s):
+                if rng.random() < 0.5:
+                    s[rng.integers(0, len(s))] = rng.integers(0, 4)
+                else:
+                    s = s[: int(rng.integers(0, len(s)))]
+            segs.append(s.astype(np.uint8))
+        got = msa_short(segs)
+        want = msa_general(segs)
+        np.testing.assert_array_equal(got, want)
