@@ -74,3 +74,23 @@ def test_report_has_genome_map_and_table(world, tmp_path):
     ids = set(re.findall(r'id="([^"]+)"', t))
     for m in set(re.findall(r'<a href="#([^"]+)">', t)):
         assert m in ids, f"dangling anchor {m}"
+
+
+def test_cli_devices_flag_matches_default(world, capsys):
+    """make-pangenome --devices N (mesh-sharded build) must produce the
+    same blockset hash as the default single-device build."""
+    import json
+
+    tmp, paths = world
+    opts = ["-o", "ANCHOR_SIZE=17", "-o", "MIN_LENGTH=60", "-o", "MIN_END=3"]
+    hashes = []
+    for sub, extra in (("w_single", []), ("w_mesh", ["--devices", "8"])):
+        w = str(tmp / sub)
+        main(["prepare", "--fasta", *paths, "-w", w])
+        main(["make-pangenome", "-w", w, *opts, *extra])
+        line = [
+            ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ][-1]
+        hashes.append(json.loads(line)["blockset_hash"])
+    assert hashes[0] == hashes[1]
