@@ -326,7 +326,9 @@ def _section_main(name: str) -> dict:
         warm = bench_pipeline(prefix="pipeline_warm")
         out["pipeline_warm_wall_s"] = warm["pipeline_warm_wall_s"]
         out["pipeline_warm_stage_s"] = warm["pipeline_warm_stage_s"]
-        sw_tpu, sw_cpu, sw_agree = bench_sw(rng)
+        # fresh rng per sub-benchmark: matches the standalone sections'
+        # per-section seeding, keeping cross-round numbers comparable
+        sw_tpu, sw_cpu, sw_agree = bench_sw(np.random.default_rng(0))
         out.update({
             "value": round(sw_tpu, 0),
             "vs_baseline": round(sw_tpu / sw_cpu, 2),
@@ -337,7 +339,9 @@ def _section_main(name: str) -> dict:
             "sw_results_match_cpu": sw_agree,
             "device": str(jax.devices()[0]),
         })
-        out["extension_cells_per_sec"] = round(bench_extension(rng), 0)
+        out["extension_cells_per_sec"] = round(
+            bench_extension(np.random.default_rng(0)), 0
+        )
         return out
     raise SystemExit(f"unknown section {name}")
 

@@ -117,7 +117,11 @@ def _dedupe_keep_mask(groups: AnchorGroups, window: int) -> np.ndarray:
         pw2 = pw2 ** expo.astype(np.uint64)
         t1 = _splitmix64(row) * pw1
         t2 = _splitmix64(row ^ np.uint64(0xA5A5A5A5A5A5A5A5)) * pw2
-    # segments are contiguous in occurrence order -> reduceat segment sums
+    # segments are contiguous in occurrence order -> reduceat segment sums.
+    # Deliberate trade-off: hash equality REPLACES exact key comparison, so
+    # a 128-bit collision between distinct keys would silently merge their
+    # dedupe buckets and drop a real anchor group. At ~2^-128 per pair
+    # (buckets further partitioned by group size) this is accepted.
     h1 = np.add.reduceat(t1, first).astype(np.uint64)
     h2 = np.add.reduceat(t2, first).astype(np.uint64)
     p0 = groups.pos[first]

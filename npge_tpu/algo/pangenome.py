@@ -139,9 +139,10 @@ def build_pangenome(
         prev_hash = h
         k = max(cfg.MIN_ANCHOR_SIZE, k - (cfg.RESEED_SHRINK if round_no else 0))
         cons, src = consensus_arena(full)
-        # one consensus upload serves both the scan and the extension
+        # the scan pads+uploads host codes itself; cons_dev serves the
+        # extension stage's window gathers only
         cons_dev = jnp.asarray(cons.codes)
-        groups = find_anchors(cons, cfg, cons_dev, k=k)
+        groups = find_anchors(cons, cfg, k=k)
         cand_cons = extend_anchor_groups(
             cons, groups, cfg, cons_dev, mesh=mesh
         )

@@ -156,13 +156,23 @@ def cmd_post_processing(args) -> None:
         "info.txt": lambda: info_text(bs) + "\n",
         "genomes_stats.tsv": lambda: per_genome_table(bs),
     }
-    overrides = dict(
-        kv.split("=", 1) for kv in (getattr(args, "target", None) or [])
-    )
     tree, n_used = consensus_tree(bs)
     targets["consensus_tree.nwk"] = (
         lambda: tree.newick(with_support=True) + "\n"
     )
+    overrides = {}
+    for kv in getattr(args, "target", None) or []:
+        if "=" not in kv:
+            raise SystemExit(
+                f"--target expects FILE=STREAM, got {kv!r}"
+            )
+        fname, stream = kv.split("=", 1)
+        if fname not in targets:
+            raise SystemExit(
+                f"--target: unknown output {fname!r} "
+                f"(known: {', '.join(sorted(targets))})"
+            )
+        overrides[fname] = stream
     for fname, render in targets.items():
         dest = overrides.get(fname, os.path.join(out, fname))
         write_text(dest, render())

@@ -185,7 +185,7 @@ def _genome_map(bs: BlockSet, linked: set[str]) -> str:
                 f'height="{h}" rx="1" class="{cls}">'
                 f"<title>{tip}</title></rect>"
             )
-            if b.name in linked:
+            if b.name and b.name in linked:
                 rect = f'<a href="#{html.escape(b.name)}">{rect}</a>'
             parts.append(rect)
     parts.append("</svg>")
@@ -240,7 +240,8 @@ def write_report(
         if b.n_frags >= 2 and shown < max_blocks:
             link = f"<a href='#{html.escape(b.name or '')}'>view</a>"
             views.append(_block_view(b, bs, max_cols))
-            linked.add(b.name)
+            if b.name:  # unnamed blocks (pre-naming stages) get no anchor
+                linked.add(b.name)
             shown += 1
         rows_html.append(
             f"<tr><td>{html.escape(b.name or '?')}</td><td>{t}</td>"
