@@ -29,6 +29,8 @@ pr.disable()
 wall = time.perf_counter() - t0
 print(f"WALL: {wall:.1f}s  blocks={len(bs.blocks)}", flush=True)
 print(tm.report(), flush=True)
+pr.dump_stats("/tmp/prof_host.pstats")
 st = pstats.Stats(pr)
 st.sort_stats("cumulative").print_stats(40)
 st.sort_stats("tottime").print_stats(30)
+st.print_callers("numpy.asarray")

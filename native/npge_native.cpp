@@ -247,7 +247,8 @@ int64_t npge_resolve_gapless(
     const int64_t* order, int64_t n_cand,
     int64_t min_length, int64_t min_end, int64_t ident_num, int64_t ident_den,
     int64_t* out_offsets, int32_t* o_seq, int32_t* o_start, int32_t* o_len,
-    int32_t* o_ori, int64_t max_out_blocks, int64_t max_out_frags) {
+    int32_t* o_ori, int64_t* o_src,  // source candidate index per out block
+    int64_t max_out_blocks, int64_t max_out_frags) {
     int64_t nb = 0, nf = 0;
     out_offsets[0] = 0;
     // scratch reused across candidates
@@ -338,6 +339,7 @@ int64_t npge_resolve_gapless(
                 for (int64_t x = 0; x < ln; ++x) occ[base + x] = 1;
                 ++nf;
             }
+            o_src[nb] = ci;
             ++nb;
             out_offsets[nb] = nf;
         }

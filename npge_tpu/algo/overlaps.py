@@ -147,7 +147,12 @@ def _admit_python(
     for c0, c1 in _runs(free):
         if c1 - c0 < cfg.MIN_LENGTH:
             continue
-        piece = normalize_wrap_starts(b.slice(c0, c1), arena)
+        if c0 == 0 and c1 == n:
+            # whole candidate admitted -> keep the object identity (see
+            # the native-path comment in resolve_overlaps)
+            piece = normalize_wrap_starts(b, arena)
+        else:
+            piece = normalize_wrap_starts(b.slice(c0, c1), arena)
         if not is_good_block(piece, arena, cfg):
             ident, gapless = column_classes(piece.rows(arena))
             sl = best_good_slice(ident & gapless, cfg)
@@ -216,9 +221,20 @@ def resolve_overlaps(
             cfg.MIN_LENGTH, cfg.MIN_END,
             cfg.MIN_IDENTITY.num, cfg.MIN_IDENTITY.den,
         )
-        out_off, o_seq, o_start, o_len, o_ori = res
+        out_off, o_seq, o_start, o_len, o_ori, o_src = res
         for k in range(len(out_off) - 1):
             a, e = int(out_off[k]), int(out_off[k + 1])
+            src = seg[int(o_src[k])]
+            # candidate admitted whole -> reuse the input Block OBJECT:
+            # downstream caches (join stats, rejected probes, consensus)
+            # key by object identity across reseed rounds
+            if (
+                e - a == src.n_frags
+                and int(o_len[a]) == src.n_cols
+                and np.array_equal(o_start[a:e], src.frags.start)
+            ):
+                accepted.append(src)
+                continue
             accepted.append(
                 Block(
                     FragmentTable(

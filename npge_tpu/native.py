@@ -71,7 +71,7 @@ def _load():
         c_i64p, c_i32p, c_i32p, c_i32p, c_i32p,
         c_i64p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        c_i64p, c_i32p, c_i32p, c_i32p, c_i32p,
+        c_i64p, c_i32p, c_i32p, c_i32p, c_i32p, c_i64p,
         ctypes.c_int64, ctypes.c_int64,
     ]
     lib.npge_resolve_gapless.restype = ctypes.c_int64
@@ -176,8 +176,10 @@ def resolve_gapless(
     ident_den: int,
 ):
     """C++ greedy admission of gapless candidates. Mutates occ_concat.
-    Returns (out_offsets, o_seq, o_start, o_len, o_ori) or None if the
-    native library is unavailable."""
+    Returns (out_offsets, o_seq, o_start, o_len, o_ori, o_src) or None if
+    the native library is unavailable; o_src[k] is the input candidate
+    index the k-th output block was sliced from (lets the caller reuse the
+    input Block object when a candidate was admitted whole)."""
     lib = _load()
     if not lib:
         return None
@@ -190,6 +192,7 @@ def resolve_gapless(
         o_start = np.empty(max_frags, np.int32)
         o_len = np.empty(max_frags, np.int32)
         o_ori = np.empty(max_frags, np.int32)
+        o_src = np.zeros(max_blocks, np.int64)
         occ_save = occ_concat.copy()
         nb = lib.npge_resolve_gapless(
             np.ascontiguousarray(codes, np.uint8),
@@ -204,7 +207,7 @@ def resolve_gapless(
             np.ascontiguousarray(order, np.int64),
             n_cand,
             min_length, min_end, ident_num, ident_den,
-            out_off, o_seq, o_start, o_len, o_ori,
+            out_off, o_seq, o_start, o_len, o_ori, o_src,
             max_blocks, max_frags,
         )
         if nb >= 0:
@@ -215,6 +218,7 @@ def resolve_gapless(
                 o_start[:nf].copy(),
                 o_len[:nf].copy(),
                 o_ori[:nf].copy(),
+                o_src[:nb].copy(),
             )
         # overflow: restore occupancy and retry with bigger buffers
         occ_concat[:] = occ_save
