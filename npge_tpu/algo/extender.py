@@ -121,6 +121,17 @@ def extend_anchor_groups(
     chunk = min(cfg.EXTEND_CHUNK, cfg.MAX_EXTEND)
     max_rounds = max(1, -(-cfg.MAX_EXTEND // chunk))
 
+    # multi-process data parallelism (SURVEY §7 step 7 / BASELINE configs
+    # 4-5): each process extends a contiguous slice of every F-bucket's
+    # groups, then per-group (el, er) scalars allgather-merge. The freeze
+    # rule makes per-group results batch-composition-independent, so the
+    # merged arrays are bit-identical to the single-process run on every
+    # process.
+    import jax
+
+    pi, pc = jax.process_index(), jax.process_count()
+    proc_shard = pc > 1 and mesh is None
+
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -132,6 +143,11 @@ def extend_anchor_groups(
         sel = gids[
             (sizes <= fb) & (sizes > (fb // 2 if fb > 2 else 1)) & ~bad_group
         ]
+        if proc_shard:
+            from npge_tpu.parallel.distributed import host_slice
+
+            a0, a1 = host_slice(len(sel), pi, pc)
+            sel = sel[a0:a1]
         if len(sel) == 0:
             continue
         b_cap = max(256, _ELEM_BUDGET // (fb * chunk))
@@ -196,6 +212,15 @@ def extend_anchor_groups(
         if timings is not None:
             # both sides scan up to rounds*chunk columns per real fragment
             timings.count("extend_cells", 2 * n_real * int(rounds) * chunk)
+    if proc_shard:
+        from jax.experimental import multihost_utils
+
+        # owned entries are exclusive per process, others zero -> sum merge
+        g = multihost_utils.process_allgather(
+            np.stack([results_l, results_r])
+        )
+        results_l = g[:, 0].sum(axis=0).astype(np.int32)
+        results_r = g[:, 1].sum(axis=0).astype(np.int32)
 
     # build blocks
     blocks: list[Block] = []

@@ -81,11 +81,24 @@ def build_pangenome(
         codes_dev = jnp.asarray(arena.codes)
     t.add("upload", time.perf_counter() - t0)
 
+    import jax
+
+    multiproc = jax.process_count() > 1 and mesh is None
+
     t0 = time.perf_counter()
     if mesh is not None:
         from npge_tpu.parallel.sharded import sharded_find_anchors
 
         groups = sharded_find_anchors(arena, cfg, mesh)
+    elif multiproc:
+        # process-partitioned scan (SURVEY §7 step 7): every process holds
+        # the same merged groups afterwards; extension then process-shards
+        # inside extend_anchor_groups and the surgery stages replay
+        # replicated (deterministic), so all processes converge on one
+        # bit-identical blockset (tests/test_distributed.py)
+        from npge_tpu.parallel.distributed import multihost_find_anchors
+
+        groups = multihost_find_anchors(arena, cfg)
     else:
         groups = find_anchors(arena, cfg, codes_dev)
     t.add("anchors", time.perf_counter() - t0)
@@ -153,7 +166,12 @@ def build_pangenome(
         # the scan pads+uploads host codes itself; cons_dev serves the
         # extension stage's window gathers only
         cons_dev = jnp.asarray(cons.codes)
-        groups = find_anchors(cons, cfg, k=k)
+        if multiproc:
+            from npge_tpu.parallel.distributed import multihost_find_anchors
+
+            groups = multihost_find_anchors(cons, cfg, k=k)
+        else:
+            groups = find_anchors(cons, cfg, k=k)
         cand_cons = extend_anchor_groups(
             cons, groups, cfg, cons_dev, mesh=mesh
         )

@@ -352,19 +352,25 @@ def _scan_select(codes, seq_id_of, k, w: int):
 @partial(jax.jit, static_argnames=("cap",))
 def _compact_rows(canon_hi, canon_lo, strand, sel, cap: int):
     """Device-side compaction of the selected rows (VERDICT r2 item 2:
-    no host unpackbits/flatnonzero hop, no index upload). The first
-    ``count`` rows of the outputs are the selected occurrences in
-    ascending position order; the tail is fill. Positions are int32
-    (arena padded length < 2^31, guarded by the caller)."""
+    no host unpackbits/flatnonzero hop, no index upload). Returns ONE
+    [3, cap] uint32 buffer — (key_hi, key_lo, pos|strand-sign<<31) — so
+    the host pays a single readback round-trip on the remote tunnel
+    (VERDICT r3 item 4: compact_fetch was 4 fetches / 3.3 s cold). The
+    first ``count`` rows are the selected occurrences in ascending
+    position order; the tail is fill. Positions are int32 (arena padded
+    length < 2^31, guarded by the caller); selected strands are only
+    ever +-1 (palindromic windows are excluded upstream), so the sign
+    bit losslessly encodes strand."""
     Tp = sel.shape[0]
     idx = jnp.nonzero(sel, size=cap, fill_value=Tp)[0]
     pad = idx >= Tp
     safe = jnp.where(pad, 0, idx)
     h = jnp.where(pad, UINT_MAX, canon_hi[safe])
     l = jnp.where(pad, UINT_MAX, canon_lo[safe])
-    s = jnp.where(pad, jnp.int8(0), strand[safe])
-    p = jnp.where(pad, Tp, idx).astype(jnp.int32)
-    return h, l, p, s
+    neg = (~pad) & (strand[safe] < 0)
+    p = jnp.where(pad, Tp, idx).astype(jnp.uint32)
+    packed = p | (neg.astype(jnp.uint32) << 31)
+    return jnp.stack([h, l, packed])
 
 
 @jax.jit
@@ -517,13 +523,12 @@ def find_anchor_occurrences(
         cap = min(Tp, max(cap, _CAP_FLOOR[0]))
         _CAP_FLOOR[0] = cap
     _t0 = _time.perf_counter()
-    h, l, p, s = (
-        np.asarray(x)[:n]
-        for x in _compact_rows(canon_hi, canon_lo, strand, sel, cap)
-    )
+    buf = np.asarray(_compact_rows(canon_hi, canon_lo, strand, sel, cap))
     SCAN_TIMINGS["compact_fetch"] += _time.perf_counter() - _t0
+    h, l, packed = buf[0, :n], buf[1, :n], buf[2, :n]
+    s = np.where(packed >> 31, -1, 1).astype(np.int8)
     _t0 = _time.perf_counter()
-    idx = p.astype(np.int64)
+    idx = (packed & np.uint32(0x7FFFFFFF)).astype(np.int64)
     order = np.lexsort((idx, l, h))
     SCAN_TIMINGS["host_sort"] += _time.perf_counter() - _t0
     return h[order], l[order], idx[order], s[order]

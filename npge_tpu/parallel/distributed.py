@@ -86,10 +86,21 @@ def multihost_find_anchors(
 ) -> AnchorGroups:
     """Anchor scan partitioned across processes by arena position, merged
     deterministically. With one process this equals find_anchors bit-for-bit
-    (same scan ops, same sort, same group formation)."""
+    (same scan ops, same sort, same group formation).
+
+    Circular arenas take the cyclic-halo scan replicated on every process
+    (it is deterministic, so all processes still agree); only the linear
+    position-partitioned path is sharded."""
     import jax
 
     k = k or cfg.ANCHOR_SIZE
+    if any(
+        arena.circular(i) and arena.seq_len(i) >= k
+        for i in range(arena.n_seqs)
+    ):
+        from npge_tpu.algo.anchors import find_anchors
+
+        return find_anchors(arena, cfg, k=k)
     pi, pc = jax.process_index(), jax.process_count()
     T = arena.total_length
     lo, hi = host_slice(T, pi, pc)

@@ -1,19 +1,36 @@
-"""Worker for test_distributed_two_process: one jax.distributed process.
+"""Worker for the two-process jax.distributed tests: one process each.
 
 Usage: python mp_worker.py <process_id> <num_processes> <coordinator> <out>
-Computes the multihost anchor scan on a fixed synthetic world and writes a
-digest of the merged groups (identical on every process and identical to the
-single-process scan)."""
+       [mode]
+
+mode "anchors" (default): multihost anchor scan on a fixed synthetic world,
+writes a digest of the merged groups (identical on every process and
+identical to the single-process scan).
+
+mode "pipeline": FULL build_pangenome through the process-sharded driver
+(multihost anchor scan + process-sharded extension + replicated surgery),
+writes the blockset hash — the SURVEY §7 step-7 bar: identical across
+1-process and N-process runs."""
 
 import hashlib
 import os
 import sys
 
 
+def world():
+    from npge_tpu.util.synthetic import synthetic_arena
+
+    return synthetic_arena(
+        n_genomes=3, length=20_000, seed=31, sub_rate=0.004,
+        indel_rate=0.0005, n_inversions=1,
+    )
+
+
 def main():
     pid, nproc, coord, out = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "anchors"
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
@@ -23,20 +40,26 @@ def main():
     )
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from npge_tpu.config import default_config
-    from npge_tpu.parallel.distributed import multihost_find_anchors
-    from npge_tpu.util.synthetic import synthetic_arena
 
-    arena = synthetic_arena(
-        n_genomes=3, length=20_000, seed=31, sub_rate=0.004,
-        indel_rate=0.0005, n_inversions=1,
-    )
+    arena = world()
     cfg = default_config().replace(ANCHOR_SIZE=17, MINIMIZER_WINDOW=6)
-    groups = multihost_find_anchors(arena, cfg)
-    d = hashlib.sha256()
-    for a in (groups.offsets, groups.pos, groups.seq_id, groups.strand):
-        d.update(a.tobytes())
+    if mode == "pipeline":
+        from npge_tpu.algo.pangenome import build_pangenome
+        from npge_tpu.model.hashing import blockset_hash
+
+        bs, _ = build_pangenome(arena, cfg)
+        bs.canonicalize()
+        line = f"{len(bs.blocks)} {blockset_hash(bs)}"
+    else:
+        from npge_tpu.parallel.distributed import multihost_find_anchors
+
+        groups = multihost_find_anchors(arena, cfg)
+        d = hashlib.sha256()
+        for a in (groups.offsets, groups.pos, groups.seq_id, groups.strand):
+            d.update(a.tobytes())
+        line = f"{groups.n_groups} {len(groups.pos)} {d.hexdigest()}"
     with open(out, "w") as fh:
-        fh.write(f"{groups.n_groups} {len(groups.pos)} {d.hexdigest()}\n")
+        fh.write(line + "\n")
 
 
 if __name__ == "__main__":

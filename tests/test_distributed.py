@@ -105,3 +105,53 @@ def test_two_process_allgather_merge(tmp_path):
         d.update(a.tobytes())
     expected = f"{groups.n_groups} {len(groups.pos)} {d.hexdigest()}"
     assert lines[0] == expected, (lines[0], expected)
+
+
+def test_two_process_full_pipeline(tmp_path):
+    """TWO real jax.distributed processes build the FULL pangenome through
+    the process-sharded driver; every process's blockset hash must equal
+    the single-process hash (SURVEY §7 step 7 / VERDICT r3 missing #2)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "mp_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    outs = [str(tmp_path / f"pp{i}.txt") for i in range(2)]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # no forced virtual devices in the workers
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", coord, outs[i], "pipeline"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-2500:]
+    lines = [open(o).read().strip() for o in outs]
+    assert lines[0] == lines[1], f"processes disagree: {lines}"
+
+    # single-process expectation: same world, same driver, pc == 1
+    from mp_worker import world
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.config import default_config
+    from npge_tpu.model.hashing import blockset_hash
+
+    arena = world()
+    cfg = default_config().replace(ANCHOR_SIZE=17, MINIMIZER_WINDOW=6)
+    bs, _ = build_pangenome(arena, cfg)
+    bs.canonicalize()
+    expected = f"{len(bs.blocks)} {blockset_hash(bs)}"
+    assert lines[0] == expected, (lines[0], expected)
