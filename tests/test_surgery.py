@@ -141,3 +141,37 @@ def test_best_good_slice_matches_bruteforce():
                 if best is None or len(w) > (best[1] - best[0]):
                     best = (l, r + 1)
         assert got == best, f"trial {trial}: got {got} want {best} good={good.astype(int)}"
+
+
+def test_merge_unique_intra_sweep_chain():
+    """Two uniques flanking the SAME fragment of one multi-block, both
+    absorbable in a single sweep (hits computed from one FragmentIndex
+    snapshot, applied sequentially against the mutated block): the second
+    absorption must compute its coordinates from the already-extended
+    fragment, and the result must keep the partition invariant
+    (VERDICT r3 weak #9)."""
+    cfg = default_config().replace(MIN_LENGTH=8, MIN_END=1, MIN_IDENTITY="0.7")
+    #         seq A: [U1 2bp][ shared 12bp ][U2 2bp]
+    arena = GenomeArena.from_strings(
+        {"A&c&l": "GGACGTACGTACGTAA", "B&c&l": "ACGTACGTACGT"}
+    )
+    bs = BlockSet(
+        arena,
+        [
+            Block(FragmentTable.from_rows([(0, 2, 12, 1), (1, 0, 12, 1)])),
+            Block(FragmentTable.from_rows([(0, 0, 2, 1)])),   # U1 before
+            Block(FragmentTable.from_rows([(0, 14, 2, 1)])),  # U2 after
+        ],
+    )
+    n = merge_unique(bs, cfg)
+    assert n == 2 and len(bs.blocks) == 1
+    b = bs.blocks[0]
+    assert b.frags.row(0) == (0, 0, 16, 1)
+    assert b.frags.row(1) == (1, 0, 12, 1)
+    assert C.decode(b.rows(arena)[0]).replace("-", "") == "GGACGTACGTACGTAA"
+    assert C.decode(b.rows(arena)[1]).replace("-", "") == "ACGTACGTACGT"
+    # partition invariant: row A covers [0,16) exactly once, no overlap
+    from npge_tpu.algo.overlaps import occupancy
+
+    occ = occupancy(arena, bs.blocks)
+    assert occ[0].all() and occ[1].all()
