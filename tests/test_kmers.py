@@ -265,3 +265,24 @@ def test_kmer_scan_ladder_matches_dyn():
             np.testing.assert_array_equal(
                 np.asarray(x)[v], np.asarray(y)[v], err_msg=f"k={k} {name}"
             )
+
+
+def test_fused_scan_truncation_retry():
+    """The ratchet (tunnel) path's fused scan returns rows truncated to cap
+    when count > cap and the caller retries with a raised floor: results
+    must still be bit-identical to the count-first CPU path."""
+    from npge_tpu.ops.kmers import find_anchor_occurrences, set_pad_ratchet
+
+    # big enough that the selected count exceeds the 1<<14 starting cap
+    arena = synthetic_arena(n_genomes=2, length=100_000, seed=4)
+    cj = jnp.asarray(arena.codes)
+    off = arena.offsets
+    base = find_anchor_occurrences(cj, None, 15, 8, offsets=off)
+    assert len(base[0]) > (1 << 14), "world too small to force truncation"
+    try:
+        set_pad_ratchet(True)
+        fused = find_anchor_occurrences(cj, None, 15, 8, offsets=off)
+    finally:
+        set_pad_ratchet(None)
+    for a, b, name in zip(base, fused, ("hi", "lo", "pos", "strand")):
+        np.testing.assert_array_equal(a, b, err_msg=name)
