@@ -69,13 +69,18 @@ def cmd_prepare(args) -> None:
         table = read_genomes_tsv(args.genomes)
         rename = dict(table)
         if not fasta:
-            # GetData parity: the reference downloads accessions from
-            # ENA/NCBI over HTTP [B]; this environment has no network, so
-            # accessions resolve against local --data-dir files instead.
+            # GetData parity: accessions resolve against local --data-dir
+            # files first; with --download, missing ones are fetched over
+            # HTTP (io/getdata — ENA by default, NPGE_FASTA_URL override)
+            data_dir = args.data_dir or "."
+            if getattr(args, "download", False):
+                from npge_tpu.io.getdata import fetch_missing
+
+                fetch_missing([acc for acc, _ in table], data_dir)
             missing = []
             for acc, _name in table:
                 for ext in (".fa", ".fasta", ".fa.gz", ".fasta.gz"):
-                    p = os.path.join(args.data_dir or ".", acc + ext)
+                    p = os.path.join(data_dir, acc + ext)
                     if os.path.exists(p):
                         fasta.append(p)
                         break
@@ -83,9 +88,9 @@ def cmd_prepare(args) -> None:
                     missing.append(acc)
             if missing:
                 raise SystemExit(
-                    f"accessions without local FASTA under {args.data_dir or '.'}: "
-                    f"{', '.join(missing)} (no network in this environment; "
-                    "place <accession>.fa files in --data-dir)"
+                    f"accessions without local FASTA under {data_dir}: "
+                    f"{', '.join(missing)} (pass --download to fetch over "
+                    "HTTP, or place <accession>.fa files in --data-dir)"
                 )
     if not fasta:
         raise SystemExit("prepare needs --fasta files or --genomes with --data-dir")
@@ -305,6 +310,11 @@ def main(argv=None) -> None:
     sp.add_argument("--fasta", nargs="+")
     sp.add_argument("--genomes", help="genomes.tsv accession renaming table")
     sp.add_argument("--data-dir", help="directory with <accession>.fa files")
+    sp.add_argument(
+        "--download", action="store_true",
+        help="fetch missing accessions over HTTP into --data-dir "
+             "(GetData; ENA by default, NPGE_FASTA_URL template override)",
+    )
     common(sp, cfg_opts=False)
     sp.set_defaults(fn=cmd_prepare)
 

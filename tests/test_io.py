@@ -146,3 +146,55 @@ ACGTACGT
 """
     with pytest.raises(ValueError, match="length differs"):
         read_blockset(_io.StringIO(text))
+
+
+def test_getdata_http_fetch(tmp_path):
+    """GetData over HTTP against a LOCAL server (no egress here): prepare
+    --genomes --download fetches missing accessions through the
+    NPGE_FASTA_URL template and ingests them (SURVEY §2.3 GetData row)."""
+    import http.server
+    import os
+    import subprocess
+    import sys
+    import threading
+
+    served = tmp_path / "served"
+    served.mkdir()
+    (served / "ACC1").write_text(">ACC1\nACGTACGTACGTACGTACGT\n")
+    (served / "ACC2").write_text(">ACC2\nTTTTACGTACGTACGTAAAA\n")
+    handler = http.server.SimpleHTTPRequestHandler
+    httpd = http.server.ThreadingHTTPServer(
+        ("localhost", 0), lambda *a, **k: handler(*a, directory=str(served), **k)
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        gt = tmp_path / "genomes.tsv"
+        gt.write_text("ACC1 G1&chr&l\nACC2 G2&chr&l\n")
+        wd = tmp_path / "work"
+        data = tmp_path / "data"
+        env = dict(
+            os.environ,
+            NPGE_FASTA_URL=f"http://localhost:{port}/{{acc}}",
+            JAX_PLATFORMS="cpu",
+        )
+        r = subprocess.run(
+            [sys.executable, "-m", "npge_tpu.cli", "prepare",
+             "--genomes", str(gt), "--data-dir", str(data),
+             "--download", "-w", str(wd)],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (data / "ACC1.fa").exists() and (data / "ACC2.fa").exists()
+        assert "prepared 2 sequences, 40 bp" in r.stdout
+        # second prepare skips the fetch (files present) and still works
+        r2 = subprocess.run(
+            [sys.executable, "-m", "npge_tpu.cli", "prepare",
+             "--genomes", str(gt), "--data-dir", str(data),
+             "-w", str(wd)],
+            capture_output=True, text=True, env=env,
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+    finally:
+        httpd.shutdown()
