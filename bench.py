@@ -225,17 +225,21 @@ def bench_extension_oracle(rng):
     return _timed_loop(loop, args, B * F * CHUNK, n1=2, n2=6)
 
 
-def bench_pipeline(prefix="pipeline", n_genomes=3, length=1_000_000):
+def bench_pipeline(prefix="pipeline", n_genomes=3, length=1_000_000,
+                   world=None):
     """Full genomes->blockset on a fixed synthetic world (3x1Mb matches
-    benchmarks/scale_3x1mb.py; 17x1Mb is the flagship config where the
-    chip's extension margin dominates) on the current backend."""
+    benchmarks/scale_3x1mb.py; the 17x1Mb flagship uses the CANONICAL
+    scale_17x1mb.py parameters — the 3x1Mb world's 1% substitution rate
+    shatters a 17-genome world into ~100k blocks and benchmarks nothing
+    realistic) on the current backend."""
     from npge_tpu.algo.pangenome import build_pangenome
     from npge_tpu.config import default_config
     from npge_tpu.util.synthetic import synthetic_arena
 
     arena = synthetic_arena(
-        n_genomes=n_genomes, length=length, seed=7,
-        sub_rate=0.01, indel_rate=0.0002, n_inversions=2,
+        n_genomes=n_genomes, length=length,
+        **(world or dict(seed=7, sub_rate=0.01, indel_rate=0.0002,
+                         n_inversions=2)),
     )
     from npge_tpu.ops.kmers import reset_scan_timings
 
@@ -322,7 +326,11 @@ def _section_main(name: str) -> dict:
         r1["cpu_loadavg_1m"] = round(os.getloadavg()[0], 2)
         # flagship 17x1Mb twin, single run (compile-warm from the 3x1Mb
         # runs above; extension work dominates at this scale)
-        r17 = bench_pipeline(prefix="cpu_pipeline17", n_genomes=17)
+        r17 = bench_pipeline(
+            prefix="cpu_pipeline17", n_genomes=17,
+            world=dict(seed=42, sub_rate=0.002, indel_rate=0.0001,
+                       n_inversions=3),
+        )
         r1.update(r17)
         r1["cpu_loadavg_1m_after17"] = round(os.getloadavg()[0], 2)
         return r1
@@ -350,8 +358,14 @@ def _section_main(name: str) -> dict:
         out["pipeline_warm_stage_s"] = warm["pipeline_warm_stage_s"]
         # flagship 17x1Mb: first run loads/compiles the 2^25 scan + F=32
         # extension executables, the rerun is the steady-state number
-        out.update(bench_pipeline(prefix="pipeline17", n_genomes=17))
-        warm17 = bench_pipeline(prefix="pipeline17_warm", n_genomes=17)
+        CANON17 = dict(seed=42, sub_rate=0.002, indel_rate=0.0001,
+                       n_inversions=3)
+        out.update(
+            bench_pipeline(prefix="pipeline17", n_genomes=17, world=CANON17)
+        )
+        warm17 = bench_pipeline(
+            prefix="pipeline17_warm", n_genomes=17, world=CANON17
+        )
         out["pipeline17_warm_wall_s"] = warm17["pipeline17_warm_wall_s"]
         out["pipeline17_warm_stage_s"] = warm17["pipeline17_warm_stage_s"]
         # fresh rng per sub-benchmark: matches the standalone sections'

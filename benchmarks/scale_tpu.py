@@ -20,9 +20,27 @@ n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 L = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
 twice = "--twice" in sys.argv  # rerun in-process for a warm wall
 
+
+def _flag(name, default, cast):
+    for a in sys.argv[3:]:
+        if a.startswith(f"--{name}="):
+            return cast(a.split("=", 1)[1])
+    return default
+
+
+# world parameters default to the canonical 17x1Mb/17x3.3Mb settings;
+# override to match the other scale_* scripts exactly (hash comparisons
+# across backends need identical worlds):
+#   50x300kb:  --seed=50  --sub=0.001 --indel=0.00005 --inv=1
+#   100x150kb: --seed=100 --sub=0.001 --indel=0.00005 --inv=1
+SEED = _flag("seed", 42, int)
+SUB = _flag("sub", 0.002, float)
+INDEL = _flag("indel", 0.0001, float)
+INV = _flag("inv", 3, int)
+
 print(f"device={jax.devices()[0]}", flush=True)
-arena = synthetic_arena(n_genomes=n, length=L, seed=42,
-                        sub_rate=0.002, indel_rate=0.0001, n_inversions=3)
+arena = synthetic_arena(n_genomes=n, length=L, seed=SEED,
+                        sub_rate=SUB, indel_rate=INDEL, n_inversions=INV)
 print(f"total={arena.total_length}", flush=True)
 cfg = default_config()
 t0 = time.perf_counter()
