@@ -16,10 +16,11 @@ Secondary numbers (extra JSON keys, VERDICT r2 item 1):
   - pipeline_extend_cells_per_sec: extension throughput measured THROUGH
     `extend_anchor_groups` inside a real `build_pangenome` run (honest
     real-cells counter, not padded batch cells);
-  - pipeline_wall_s: full genomes->blockset wall for the fixed 3x1Mb
-    synthetic config (same world as benchmarks/scale_3x1mb.py) on the
-    default backend, with `pipeline_vs_cpu_backend` against the recorded
-    34 s CPU-backend wall for the same config (benchmarks/README.md).
+  - pipeline_wall_s / pipeline17_wall_s: full genomes->blockset walls
+    for the fixed 3x1Mb and canonical 17x1Mb synthetic configs on the
+    default backend (first-run and steady-state), with vs_cpu ratios
+    against the in-session best-of-2 CPU-backend twin (falls back to the
+    recorded benchmarks/README.md wall only if the twin section fails).
 
 Two subprocesses, each under a hard timeout: one for ALL TPU measurements
 (pipeline + SW + extension — the first dispatch of a fresh process waits

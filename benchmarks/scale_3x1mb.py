@@ -17,4 +17,6 @@ print(f"WALL: {time.perf_counter()-t0:.1f}s", flush=True)
 print(tm.report(), flush=True)
 rep = check_is_pangenome(bs, cfg)
 multi = sum(b.n_frags*b.n_cols for b in bs.blocks if b.n_frags>=2)
+bs.canonicalize()
+print(f"hash={blockset_hash(bs):#x}", flush=True)
 print(f"valid={rep.ok} msgs={rep.messages[:2]} blocks={len(bs.blocks)} shared={multi/arena.total_length:.2%}", flush=True)

@@ -8,6 +8,7 @@ from npge_tpu.algo.pangenome import build_pangenome
 from npge_tpu.algo.is_pangenome import check_is_pangenome
 from npge_tpu.config import default_config
 from npge_tpu.model.naming import block_type
+from npge_tpu.model.hashing import blockset_hash
 
 arena = synthetic_arena(n_genomes=50, length=300_000, seed=50, sub_rate=0.001, indel_rate=0.00005, n_inversions=1)
 print(f"total={arena.total_length}", flush=True)
@@ -22,4 +23,6 @@ g = arena.genome_id_of_seq(); ng = len(arena.genomes())
 types = {}
 for b in bs.blocks:
     t = block_type(b, g, ng); types[t] = types.get(t,0)+1
+bs.canonicalize()
+print(f"hash={blockset_hash(bs):#x}", flush=True)
 print(f"valid={rep.ok} msgs={rep.messages[:2]} blocks={len(bs.blocks)} types={types} shared={occ_pos/arena.total_length:.2%}", flush=True)
