@@ -30,6 +30,58 @@ from npge_tpu.ops.extend import (
 _ELEM_BUDGET = 1 << 26
 
 
+class CandidateBatch:
+    """Columnar gapless candidate set — one group per candidate, SoA.
+
+    The extender used to build one Block object per group (334k Python
+    objects + per-group numpy churn at the 56 Mbp scale); the batch keeps
+    the CSR arrays and materializes Blocks only on demand. It is a
+    sequence of Blocks for API compatibility (iteration, len, indexing),
+    and `resolve_overlaps` / `deconseq` consume the arrays directly."""
+
+    __slots__ = ("offsets", "seq", "start", "length", "ori")
+
+    def __init__(self, offsets, seq, start, length, ori):
+        self.offsets = offsets
+        self.seq = seq
+        self.start = start
+        self.length = length
+        self.ori = ori
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        a, e = int(self.offsets[i]), int(self.offsets[i + 1])
+        return Block(
+            FragmentTable(
+                self.seq[a:e], self.start[a:e],
+                self.length[a:e], self.ori[a:e],
+            )
+        )
+
+    def to_blocks(self) -> list[Block]:
+        return list(self)
+
+    def select(self, ids: np.ndarray) -> "CandidateBatch":
+        """Sub-batch of the given candidate indices (CSR gather)."""
+        ids = np.asarray(ids, np.int64)
+        cnt = self.offsets[ids + 1] - self.offsets[ids]
+        offs = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        base = np.repeat(self.offsets[ids], cnt)
+        within = np.arange(int(offs[-1])) - np.repeat(offs[:-1], cnt)
+        idx = base + within
+        return CandidateBatch(
+            offs, self.seq[idx], self.start[idx],
+            self.length[idx], self.ori[idx],
+        )
+
+
 def _compute_caps(groups: AnchorGroups, arena: GenomeArena):
     """Per-occurrence (cap_left, cap_right) in column space, int64."""
     k = groups.k
@@ -88,8 +140,9 @@ def extend_anchor_groups(
     codes_dev=None,
     timings=None,
     mesh=None,
-) -> list[Block]:
-    """Extend all groups; return candidate gapless blocks (one per group),
+) -> CandidateBatch:
+    """Extend all groups; return the columnar CandidateBatch of gapless
+    candidates (one per group; a lazy sequence of Blocks),
     in deterministic group order. `timings` (StageTimings) receives an
     ``extend_cells`` counter when given.
 
@@ -101,7 +154,9 @@ def extend_anchor_groups(
     per-group, and the freeze rule keeps per-group results independent of
     batch composition (VERDICT r2 item 4 / SURVEY §2.6)."""
     if groups.n_groups == 0:
-        return []
+        z = np.zeros(0, np.int64)
+        zi = np.zeros(0, np.int32)
+        return CandidateBatch(np.zeros(1, np.int64), z, zi, zi, zi)
     if codes_dev is None:
         codes_dev = jnp.asarray(arena.codes)
     if mesh is not None:
@@ -222,26 +277,24 @@ def extend_anchor_groups(
         results_l = g[:, 0].sum(axis=0).astype(np.int32)
         results_r = g[:, 1].sum(axis=0).astype(np.int32)
 
-    # build blocks
-    blocks: list[Block] = []
-    for g in range(groups.n_groups):
-        if bad_group[g]:
-            continue
-        a, b = groups.offsets[g], groups.offsets[g + 1]
-        el, er = int(results_l[g]), int(results_r[g])
-        length = k + el + er
-        p = groups.pos[a:b]
-        s = groups.strand[a:b].astype(np.int64)
-        new_global = np.where(s == 1, p - el, p - er)
-        local = new_global - arena.offsets[groups.seq_id[a:b]]
-        blocks.append(
-            Block(
-                FragmentTable(
-                    groups.seq_id[a:b],
-                    local.astype(np.int32),
-                    np.full(b - a, length, np.int32),
-                    s.astype(np.int32),
-                )
-            )
-        )
-    return blocks
+    # build the columnar candidate batch in one vectorized pass
+    keep = ~bad_group
+    kept = np.flatnonzero(keep)
+    cnt = (groups.offsets[kept + 1] - groups.offsets[kept]).astype(np.int64)
+    offs = np.zeros(len(kept) + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    # occurrence indices of kept groups (CSR gather)
+    base = np.repeat(groups.offsets[kept], cnt)
+    within = np.arange(int(cnt.sum())) - np.repeat(offs[:-1], cnt)
+    oidx_all = base + within
+    gl = np.repeat(results_l[kept].astype(np.int64), cnt)
+    gr = np.repeat(results_r[kept].astype(np.int64), cnt)
+    p = groups.pos[oidx_all]
+    s = groups.strand[oidx_all].astype(np.int64)
+    sid = groups.seq_id[oidx_all]
+    new_global = np.where(s == 1, p - gl, p - gr)
+    local = new_global - arena.offsets[sid]
+    length = (k + gl + gr).astype(np.int32)
+    return CandidateBatch(
+        offs, sid, local.astype(np.int32), length, s.astype(np.int32)
+    )

@@ -41,23 +41,91 @@ def _block_score_key(b: Block, arena: GenomeArena):
     return (-b.n_frags, -b.n_frags * b.n_cols, first)
 
 
-def _admission_order_and_wraps(cand: list[Block], arena: GenomeArena):
+class _FlatCandidates:
+    """Uniform columnar view over a candidate collection: a
+    CandidateBatch's arrays directly (zero copies), or one concatenation
+    pass over a list of Blocks. Everything downstream (admission order,
+    the native gapless path's fragment gathers, wrap flags) reads these
+    arrays instead of touching per-candidate Python objects."""
+
+    def __init__(self, cand, arena: GenomeArena):
+        from npge_tpu.algo.extender import CandidateBatch
+
+        self.cand = cand
+        self.is_batch = isinstance(cand, CandidateBatch)
+        G = len(cand)
+        if self.is_batch:
+            self.offs = np.asarray(cand.offsets, np.int64)
+            self.seq = np.asarray(cand.seq, np.int64)
+            self.start = np.asarray(cand.start, np.int64)
+            self.length = np.asarray(cand.length, np.int64)
+            self.ori = np.asarray(cand.ori, np.int64)
+            self.nfr = np.diff(self.offs)
+            self.ncols = np.zeros(G, np.int64)
+            ne = self.nfr > 0
+            self.ncols[ne] = self.length[self.offs[:-1][ne]]
+            self.gapless = np.ones(G, bool)
+        else:
+            self.nfr = np.fromiter(
+                (b.n_frags for b in cand), np.int64, G
+            ) if G else np.zeros(0, np.int64)
+            self.ncols = np.fromiter(
+                (b.n_cols for b in cand), np.int64, G
+            ) if G else np.zeros(0, np.int64)
+            self.offs = np.zeros(G + 1, np.int64)
+            np.cumsum(self.nfr, out=self.offs[1:])
+            if G:
+                self.seq = np.concatenate(
+                    [b.frags.seq_id for b in cand]
+                ).astype(np.int64)
+                self.start = np.concatenate(
+                    [b.frags.start for b in cand]
+                ).astype(np.int64)
+                self.length = np.concatenate(
+                    [b.frags.length for b in cand]
+                ).astype(np.int64)
+                self.ori = np.concatenate(
+                    [b.frags.ori for b in cand]
+                ).astype(np.int64)
+            else:
+                self.seq = self.start = self.length = self.ori = np.zeros(
+                    0, np.int64
+                )
+            self.gapless = np.fromiter(
+                (b.is_gapless for b in cand), bool, G
+            ) if G else np.zeros(0, bool)
+
+    def block(self, i: int) -> Block:
+        return self.cand[i]
+
+    def frag_rows(self, sel: np.ndarray):
+        """CSR gather of the fragment rows of candidates ``sel`` (in sel
+        order): (cand_offsets, seq, start, length, ori) int32-ready."""
+        cnt = self.nfr[sel]
+        offs = np.zeros(len(sel) + 1, np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        base = np.repeat(self.offs[sel], cnt)
+        within = np.arange(int(offs[-1])) - np.repeat(offs[:-1], cnt)
+        idx = base + within
+        return (
+            offs, self.seq[idx], self.start[idx],
+            self.length[idx], self.ori[idx],
+        )
+
+
+def _admission_order_and_wraps(fc: "_FlatCandidates", arena: GenomeArena):
     """(order, wrap_flags): vectorized equivalent of sorting by
     ``_block_score_key`` (same order bit-for-bit — lexsort is stable, as is
     ``sorted``) plus a per-candidate any-fragment-wraps flag. One pass over
-    concatenated fragment arrays instead of ~75k tiny-numpy key calls
+    the flat fragment arrays instead of ~75k tiny-numpy key calls
     (the r2 profile's dominant resolve cost)."""
-    G = len(cand)
+    G = len(fc.nfr)
     if G == 0:
         return np.zeros(0, np.int64), np.zeros(0, bool)
-    nfr = np.fromiter((b.n_frags for b in cand), np.int64, G)
-    ncols = np.fromiter((b.n_cols for b in cand), np.int64, G)
-    offs = np.zeros(G + 1, np.int64)
-    np.cumsum(nfr, out=offs[1:])
-    seq = np.concatenate([b.frags.seq_id for b in cand]).astype(np.int64)
-    start = np.concatenate([b.frags.start for b in cand]).astype(np.int64)
-    length = np.concatenate([b.frags.length for b in cand]).astype(np.int64)
-    ori = np.concatenate([b.frags.ori for b in cand]).astype(np.int64)
+    nfr = fc.nfr
+    ncols = fc.ncols
+    offs = fc.offs
+    seq, start, length, ori = fc.seq, fc.start, fc.length, fc.ori
     gid = np.repeat(np.arange(G, dtype=np.int64), nfr)
     enc = (seq << 32) + start
     BIG = np.int64(1) << 62
@@ -167,10 +235,14 @@ def _admit_python(
 
 
 def resolve_overlaps(
-    cand: list[Block], arena: GenomeArena, cfg: Config, use_native: bool = True
+    cand, arena: GenomeArena, cfg: Config, use_native: bool = True
 ) -> list[Block]:
     """Greedy admission of candidate blocks into an overlap-free, all-good
     set. Returns the admitted blocks; unclaimed positions are left for Rest.
+
+    ``cand`` may be a list of Blocks or a CandidateBatch (the extender's
+    columnar output — the whole admission pipeline then runs off the SoA
+    arrays without materializing per-candidate objects).
 
     Gapless candidates run through the C++ fast path
     (native.resolve_gapless, exact same semantics); gapped candidates (and
@@ -184,56 +256,58 @@ def resolve_overlaps(
         occ_concat[arena.offsets[i] : arena.offsets[i + 1]]
         for i in range(arena.n_seqs)
     ]
-    order, wraps = _admission_order_and_wraps(cand, arena)
+    fc = _FlatCandidates(cand, arena)
+    order, wraps = _admission_order_and_wraps(fc, arena)
+    # per-candidate admissibility + native-path eligibility, vectorized
+    eligible = (fc.nfr >= 2) & (fc.ncols >= cfg.MIN_LENGTH)
     accepted: list[Block] = []
     native_ok = use_native and native.have_native()
+    nat = native_ok & fc.gapless & ~wraps
     i = 0
     while i < len(order):
-        b = cand[order[i]]
-        if b.n_frags < 2 or b.n_cols < cfg.MIN_LENGTH:
+        ci = int(order[i])
+        if not eligible[ci]:
             i += 1
             continue
-        if not (native_ok and b.is_gapless and not wraps[order[i]]):
-            _admit_python(b, arena, cfg, occ, accepted)
+        if not nat[ci]:
+            _admit_python(fc.block(ci), arena, cfg, occ, accepted)
             i += 1
             continue
         # maximal run of consecutive gapless non-wrap candidates -> one
         # C++ call (the native path assumes start+length <= seq_len)
         j = i
-        seg: list[Block] = []
-        while j < len(order):
-            nb = cand[order[j]]
-            if not nb.is_gapless or wraps[order[j]]:
-                break
-            if nb.n_frags >= 2 and nb.n_cols >= cfg.MIN_LENGTH:
-                seg.append(nb)
+        while j < len(order) and nat[order[j]]:
             j += 1
-        offs = np.zeros(len(seg) + 1, np.int64)
-        np.cumsum([s.n_frags for s in seg], out=offs[1:])
-        f_seq = np.concatenate([s.frags.seq_id for s in seg])
-        f_start = np.concatenate([s.frags.start for s in seg])
-        f_len = np.concatenate([s.frags.length for s in seg])
-        f_ori = np.concatenate([s.frags.ori for s in seg])
+        seg_ids = order[i:j]
+        seg_ids = seg_ids[eligible[seg_ids]]
+        offs, f_seq, f_start, f_len, f_ori = fc.frag_rows(seg_ids)
         res = native.resolve_gapless(
             arena.codes, arena.offsets, occ_concat,
-            offs, f_seq, f_start, f_len, f_ori,
-            np.arange(len(seg), dtype=np.int64),
+            offs, f_seq.astype(np.int32), f_start.astype(np.int32),
+            f_len.astype(np.int32), f_ori.astype(np.int32),
+            np.arange(len(seg_ids), dtype=np.int64),
             cfg.MIN_LENGTH, cfg.MIN_END,
             cfg.MIN_IDENTITY.num, cfg.MIN_IDENTITY.den,
         )
         out_off, o_seq, o_start, o_len, o_ori, o_src = res
         for k in range(len(out_off) - 1):
             a, e = int(out_off[k]), int(out_off[k + 1])
-            src = seg[int(o_src[k])]
-            # candidate admitted whole -> reuse the input Block OBJECT:
-            # downstream caches (join stats, rejected probes, consensus)
-            # key by object identity across reseed rounds
+            src_ci = int(seg_ids[int(o_src[k])])
+            sa, se = int(fc.offs[src_ci]), int(fc.offs[src_ci + 1])
+            # candidate admitted whole -> for list candidates reuse the
+            # input Block OBJECT: downstream caches (join stats, rejected
+            # probes, consensus) key by object identity across reseed
+            # rounds. Batch candidates are freshly created, so a fresh
+            # materialization is equivalent.
             if (
-                e - a == src.n_frags
-                and int(o_len[a]) == src.n_cols
-                and np.array_equal(o_start[a:e], src.frags.start)
+                not fc.is_batch
+                and e - a == se - sa
+                and int(o_len[a]) == int(fc.ncols[src_ci])
+                and np.array_equal(
+                    o_start[a:e].astype(np.int64), fc.start[sa:se]
+                )
             ):
-                accepted.append(src)
+                accepted.append(fc.block(src_ci))
                 continue
             accepted.append(
                 Block(

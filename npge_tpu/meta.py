@@ -83,7 +83,7 @@ def _anchor_finder(bs: BlockSet, cfg: Config) -> BlockSet:
 
     groups = find_anchors(bs.arena, cfg)
     blocks = extend_anchor_groups(bs.arena, groups, cfg)
-    return BlockSet(bs.arena, list(bs.blocks) + blocks)
+    return BlockSet(bs.arena, list(bs.blocks) + list(blocks))
 
 
 @register("OverlapsResolver")

@@ -54,7 +54,7 @@ def column_consensus(rows: np.ndarray) -> np.ndarray:
 
 
 class Block:
-    __slots__ = ("frags", "alignment", "name")
+    __slots__ = ("frags", "alignment", "name", "_nongap_cum")
 
     def __init__(
         self,
@@ -65,6 +65,7 @@ class Block:
         self.frags = frags
         self.alignment = alignment
         self.name = name
+        self._nongap_cum = None  # lazy [F, n_cols+1] cumsum, see slice()
         if alignment is not None:
             if alignment.shape[0] != len(frags):
                 raise ValueError("alignment rows != n_frags")
@@ -137,27 +138,52 @@ class Block:
 
         Returns None if no fragment survives. Equivalent to the reference's
         ``Block::slice`` used by Filter's good-slice logic ⚠[B].
+
+        Fully vectorized: per-row consumed-text boundaries come from a
+        LAZY cached [F, n_cols+1] nongap cumsum (blocks are immutable),
+        so a block sliced k times pays the O(F*n_cols) scan once instead
+        of per slice — DeConSeq/FindLowSimilar slice hot blocks thousands
+        of times at the 50-100-genome scales.
         """
         if not (0 <= c0 < c1 <= self.n_cols):
             raise ValueError(f"bad slice [{c0},{c1}) of {self.n_cols}")
+        f = self.frags
         if self.alignment is None:
-            rows = [
-                self._subfragment(i, c0, c1) for i in range(self.n_frags)
-            ]
-            return Block(FragmentTable.from_rows(rows), None)
+            st = np.where(
+                f.ori == 1,
+                f.start + c0,
+                f.start.astype(np.int64) + f.length - c1,
+            )
+            return Block(
+                FragmentTable(
+                    f.seq_id, st.astype(np.int32),
+                    np.full(len(f), c1 - c0, np.int32), f.ori,
+                ),
+                None,
+            )
         sub = self.alignment[:, c0:c1]
         keep = (sub != C.GAP).any(axis=1)
         if not keep.any():
             return None
-        # consumed text positions before c0/c1 for ALL rows in two
-        # vectorized partial sums (one per boundary, not per row)
-        nongap = self.alignment != C.GAP
-        t0s = nongap[:, :c0].sum(axis=1)
-        t1s = t0s + nongap[:, c0:c1].sum(axis=1)
-        rows = []
-        for i in np.flatnonzero(keep):
-            rows.append(self._subfragment(int(i), int(t0s[i]), int(t1s[i])))
-        return Block(FragmentTable.from_rows(rows), sub[keep].copy())
+        cum = self._nongap_cum
+        if cum is None:
+            nong = self.alignment != C.GAP
+            cum = np.zeros((nong.shape[0], nong.shape[1] + 1), np.int64)
+            np.cumsum(nong, axis=1, out=cum[:, 1:])
+            self._nongap_cum = cum
+        t0s = cum[:, c0][keep]
+        t1s = cum[:, c1][keep]
+        st = f.start[keep].astype(np.int64)
+        ln = f.length[keep].astype(np.int64)
+        o = f.ori[keep]
+        new_st = np.where(o == 1, st + t0s, st + ln - t1s)
+        return Block(
+            FragmentTable(
+                f.seq_id[keep], new_st.astype(np.int32),
+                (t1s - t0s).astype(np.int32), o,
+            ),
+            sub[keep].copy(),
+        )
 
     def inverse(self) -> "Block":
         """Reverse-complement view of the block (``Block::inverse`` ⚠[B])."""

@@ -32,7 +32,7 @@ def test_vectorized_admission_order_matches_tuple_sort():
     from npge_tpu.model.blocks import Block
     from npge_tpu.model.fragments import FragmentTable
     from npge_tpu.algo.overlaps import (
-        _admission_order_and_wraps, _block_score_key,
+        _admission_order_and_wraps, _block_score_key, _FlatCandidates,
     )
 
     rng = np.random.default_rng(5)
@@ -51,7 +51,7 @@ def test_vectorized_admission_order_matches_tuple_sort():
             st = int(rng.integers(0, 195))  # may wrap on circular seqs
             rows.append((s, st, ln, int(rng.choice([-1, 1]))))
         cand.append(Block(FragmentTable.from_rows(rows)))
-    order, wraps = _admission_order_and_wraps(cand, arena)
+    order, wraps = _admission_order_and_wraps(_FlatCandidates(cand, arena), arena)
     want = sorted(
         range(len(cand)), key=lambda i: _block_score_key(cand[i], arena)
     )
