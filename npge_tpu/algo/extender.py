@@ -3,8 +3,8 @@
 Pipeline stage wrapping ops/extend.py: computes per-occurrence extension caps
 (sequence bounds + half-split gaps between same-group neighbors so a block
 can never overlap itself), buckets ragged groups into padded (B, F) batches
-(SURVEY.md §7 hard part 2), runs the device kernel per bucket, and emits one
-gapless candidate Block per group.
+(SURVEY.md §7 hard part 2), runs the device kernel per bucket, and emits the
+columnar :class:`CandidateBatch` (one gapless candidate per group).
 
 Equivalent role: the reference's ``FragmentsExtender`` + block construction
 from anchors (SURVEY §2.3 ⚠[B]).

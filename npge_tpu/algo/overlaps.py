@@ -321,10 +321,28 @@ def resolve_overlaps(
 
 
 def occupancy(arena: GenomeArena, blocks: list[Block]):
-    occ = [np.zeros(arena.seq_len(i), dtype=bool) for i in range(arena.n_seqs)]
-    for b in blocks:
-        for fi in range(b.n_frags):
-            s, st, ln, _ = b.frags.row(fi)
-            for a0, a1 in frag_spans(st, ln, arena.seq_len(s)):
-                occ[s][a0:a1] = True
-    return occ
+    """Per-sequence position-covered masks, vectorized: one pass building
+    global interval arrays (wrap fragments split into two spans) + one
+    native/NumPy interval-marking sweep — the per-fragment Python loop
+    cost ~8 s/round at the 100-genome scale (48k blocks)."""
+    from npge_tpu import native
+
+    buf = np.zeros(arena.total_length, np.uint8)
+    if blocks:
+        seq = np.concatenate([b.frags.seq_id for b in blocks]).astype(np.int64)
+        st = np.concatenate([b.frags.start for b in blocks]).astype(np.int64)
+        ln = np.concatenate([b.frags.length for b in blocks]).astype(np.int64)
+        lo = arena.offsets[seq]
+        seq_len = arena.offsets[seq + 1] - lo
+        over = np.maximum(st + ln - seq_len, 0)  # wrap tail length
+        g_start = (lo + st).astype(np.int32)
+        g_len = (ln - over).astype(np.int32)
+        if over.any():
+            w = np.flatnonzero(over)
+            g_start = np.concatenate([g_start, lo[w].astype(np.int32)])
+            g_len = np.concatenate([g_len, over[w].astype(np.int32)])
+        native.mark_intervals(buf, g_start, g_len)
+    return [
+        buf[arena.offsets[i] : arena.offsets[i + 1]].astype(bool)
+        for i in range(arena.n_seqs)
+    ]

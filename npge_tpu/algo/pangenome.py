@@ -150,14 +150,19 @@ def build_pangenome(
     best_metric = quality_metric(bs)
     snapshot = list(bs.blocks)
     cons_cache: dict = {}  # id -> (block, cons, cmap), see consensus_arena
+    rest_cache: dict = {}  # (seq, start, len) -> Block, see rest_blocks
+    canon_memo: dict = {}  # id -> (block, canonical block), see canonicalize
     for round_no in range(cfg.MAX_LOOPS):
         # the seed phase's own books (VERDICT r3 weak #3/#7): occ = rest
         # fill + canonical hash, cons = consensus arena build + upload,
         # scan = anchor scan, extend = extension + deconseq mapping
         t0 = time.perf_counter()
         occ = occupancy(arena, bs.blocks)
-        full = BlockSet(arena, list(bs.blocks) + rest_blocks(arena, occ))
-        full.canonicalize()
+        full = BlockSet(
+            arena,
+            list(bs.blocks) + rest_blocks(arena, occ, rest_cache),
+        )
+        full.canonicalize(canon_memo)
         h = blockset_hash(full)
         if h == prev_hash and k <= cfg.MIN_ANCHOR_SIZE:
             # unchanged blockset and no finer seed size left to try

@@ -15,13 +15,20 @@ from npge_tpu.model.blocks import Block
 from npge_tpu.model.fragments import FragmentTable
 
 
-def rest_blocks(arena: GenomeArena, occ: list[np.ndarray]) -> list[Block]:
+def rest_blocks(
+    arena: GenomeArena, occ: list[np.ndarray], cache: dict | None = None
+) -> list[Block]:
     """One unique block per maximal uncovered interval (ori=+1).
 
     On a circular sequence, uncovered runs touching both the end and the
     start of the coordinate axis are one *cyclic* run: they merge into a
     single wrap fragment (start + length > seq_len) so no unique-block
-    boundary is pinned at position 0 (SURVEY §2.1 circularity [A])."""
+    boundary is pinned at position 0 (SURVEY §2.1 circularity [A]).
+
+    ``cache`` ((seq, start, len) -> Block) reuses the Block OBJECT for an
+    interval seen in an earlier call: uncovered runs barely change across
+    reseed rounds, and stable objects let the per-object consensus/join
+    caches hit (blocks are immutable, entries pin their block)."""
     out = []
     for seq_id in range(arena.n_seqs):
         starts, ends = native.uncovered_runs(
@@ -41,7 +48,13 @@ def rest_blocks(arena: GenomeArena, occ: list[np.ndarray]) -> list[Block]:
             starts.pop()
             ends.pop()
         for st, en in zip(starts, ends):
-            out.append(
-                Block(FragmentTable.from_rows([(seq_id, st, en - st, 1)]))
-            )
+            key = (seq_id, st, en - st)
+            b = cache.get(key) if cache is not None else None
+            if b is None:
+                b = Block(
+                    FragmentTable.from_rows([(seq_id, st, en - st, 1)])
+                )
+                if cache is not None:
+                    cache[key] = b
+            out.append(b)
     return out

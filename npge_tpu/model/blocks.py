@@ -196,8 +196,15 @@ class Block:
 
     def canonicalize(self) -> "Block":
         """Sort fragments into the canonical deterministic order and fix
-        block orientation so the first fragment reads forward."""
+        block orientation so the first fragment reads forward. Returns
+        SELF when already canonical (object stability feeds the
+        per-object caches that persist across reseed rounds)."""
         order = self.frags.sort_order()
+        if (
+            np.array_equal(order, np.arange(len(order)))
+            and (len(self.frags) == 0 or self.frags.ori[0] != -1)
+        ):
+            return self
         aln = self.alignment[order] if self.alignment is not None else None
         b = Block(self.frags.take(order), aln, self.name)
         if len(b.frags) and b.frags.ori[0] == -1:
@@ -250,11 +257,27 @@ class BlockSet:
             t = t.concat(b.frags)
         return t
 
-    def canonicalize(self) -> None:
+    def canonicalize(self, memo: dict | None = None) -> None:
         """Deterministic global order: canonical fragments within blocks,
         blocks sorted by their first fragment key. Makes hashes/outputs
-        independent of construction order (SURVEY §7 hard part 4)."""
-        self.blocks = [b.canonicalize() for b in self.blocks]
+        independent of construction order (SURVEY §7 hard part 4).
+
+        ``memo`` (id -> (source block, canonical block)) keeps the
+        canonical OBJECT stable for a block canonicalized before — the
+        reseed loop re-canonicalizes mostly-unchanged blocksets every
+        round, and stable objects are what the per-object consensus/join
+        caches key on. Entries pin both blocks, so ids cannot alias."""
+        out = []
+        for b in self.blocks:
+            hit = memo.get(id(b)) if memo is not None else None
+            if hit is not None:
+                out.append(hit[1])
+                continue
+            cb = b.canonicalize()
+            if memo is not None:
+                memo[id(b)] = (b, cb)
+            out.append(cb)
+        self.blocks = out
         self.blocks.sort(
             key=lambda b: (b.frags.row(0) if len(b.frags) else (1 << 30,))
         )
