@@ -56,6 +56,8 @@ class CandidateBatch:
             return [self[j] for j in range(*i.indices(len(self)))]
         if i < 0:
             i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
         a, e = int(self.offsets[i]), int(self.offsets[i + 1])
         return Block(
             FragmentTable(
@@ -69,13 +71,9 @@ class CandidateBatch:
 
     def select(self, ids: np.ndarray) -> "CandidateBatch":
         """Sub-batch of the given candidate indices (CSR gather)."""
-        ids = np.asarray(ids, np.int64)
-        cnt = self.offsets[ids + 1] - self.offsets[ids]
-        offs = np.zeros(len(ids) + 1, np.int64)
-        np.cumsum(cnt, out=offs[1:])
-        base = np.repeat(self.offsets[ids], cnt)
-        within = np.arange(int(offs[-1])) - np.repeat(offs[:-1], cnt)
-        idx = base + within
+        from npge_tpu.util.csr import csr_gather
+
+        idx, offs = csr_gather(self.offsets, ids)
         return CandidateBatch(
             offs, self.seq[idx], self.start[idx],
             self.length[idx], self.ori[idx],
@@ -278,15 +276,11 @@ def extend_anchor_groups(
         results_r = g[:, 1].sum(axis=0).astype(np.int32)
 
     # build the columnar candidate batch in one vectorized pass
-    keep = ~bad_group
-    kept = np.flatnonzero(keep)
-    cnt = (groups.offsets[kept + 1] - groups.offsets[kept]).astype(np.int64)
-    offs = np.zeros(len(kept) + 1, np.int64)
-    np.cumsum(cnt, out=offs[1:])
-    # occurrence indices of kept groups (CSR gather)
-    base = np.repeat(groups.offsets[kept], cnt)
-    within = np.arange(int(cnt.sum())) - np.repeat(offs[:-1], cnt)
-    oidx_all = base + within
+    from npge_tpu.util.csr import csr_gather
+
+    kept = np.flatnonzero(~bad_group)
+    oidx_all, offs = csr_gather(groups.offsets, kept)
+    cnt = np.diff(offs)
     gl = np.repeat(results_l[kept].astype(np.int64), cnt)
     gr = np.repeat(results_r[kept].astype(np.int64), cnt)
     p = groups.pos[oidx_all]

@@ -101,12 +101,9 @@ class _FlatCandidates:
     def frag_rows(self, sel: np.ndarray):
         """CSR gather of the fragment rows of candidates ``sel`` (in sel
         order): (cand_offsets, seq, start, length, ori) int32-ready."""
-        cnt = self.nfr[sel]
-        offs = np.zeros(len(sel) + 1, np.int64)
-        np.cumsum(cnt, out=offs[1:])
-        base = np.repeat(self.offs[sel], cnt)
-        within = np.arange(int(offs[-1])) - np.repeat(offs[:-1], cnt)
-        idx = base + within
+        from npge_tpu.util.csr import csr_gather
+
+        idx, offs = csr_gather(self.offs, sel)
         return (
             offs, self.seq[idx], self.start[idx],
             self.length[idx], self.ori[idx],

@@ -152,7 +152,32 @@ def build_pangenome(
     cons_cache: dict = {}  # id -> (block, cons, cmap), see consensus_arena
     rest_cache: dict = {}  # (seq, start, len) -> Block, see rest_blocks
     canon_memo: dict = {}  # id -> (block, canonical block), see canonicalize
+
+    def sweep_caches() -> None:
+        """Evict cache entries for blocks no longer reachable from the
+        current blockset or the revert snapshot: the cross-round caches
+        pin their blocks (id-aliasing safety), so without eviction peak
+        memory would grow with every block GENERATION ever created, not
+        the live set (round-4 review finding)."""
+        live = {id(b) for b in bs.blocks}
+        live.update(id(b) for b in snapshot)
+        for k in [k for k in canon_memo if k not in live]:
+            del canon_memo[k]
+        canon_live = live | {id(v[1]) for v in canon_memo.values()}
+        for k in [k for k in cons_cache if k not in canon_live]:
+            del cons_cache[k]
+        for k in [k for k in join_cache.d if k not in live]:
+            del join_cache.d[k]
+        for t in [
+            t for t in join_rejected
+            if id(t[0]) not in live or id(t[1]) not in live
+        ]:
+            join_rejected.discard(t)
+        for k in [k for k in gapext_cache if k[0] not in live]:
+            del gapext_cache[k]
+
     for round_no in range(cfg.MAX_LOOPS):
+        sweep_caches()
         # the seed phase's own books (VERDICT r3 weak #3/#7): occ = rest
         # fill + canonical hash, cons = consensus arena build + upload,
         # scan = anchor scan, extend = extension + deconseq mapping

@@ -57,4 +57,11 @@ def rest_blocks(
                 if cache is not None:
                     cache[key] = b
             out.append(b)
+    if cache is not None and len(cache) > 2 * len(out) + 64:
+        # bound the cache to the current cover's scale (vanished runs
+        # only recur after a revert; rebuilding those is cheap)
+        used = {(int(b.frags.seq_id[0]), int(b.frags.start[0]),
+                 int(b.frags.length[0])) for b in out}
+        for k in [k for k in cache if k not in used]:
+            del cache[k]
     return out

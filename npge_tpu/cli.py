@@ -74,9 +74,16 @@ def cmd_prepare(args) -> None:
             # HTTP (io/getdata — ENA by default, NPGE_FASTA_URL override)
             data_dir = args.data_dir or "."
             if getattr(args, "download", False):
+                import urllib.error
+
                 from npge_tpu.io.getdata import fetch_missing
 
-                fetch_missing([acc for acc, _ in table], data_dir)
+                try:
+                    fetch_missing([acc for acc, _ in table], data_dir)
+                except urllib.error.URLError as e:
+                    raise SystemExit(f"download failed: {e}")
+                except OSError as e:
+                    raise SystemExit(f"download failed: {e}")
             missing = []
             for acc, _name in table:
                 for ext in (".fa", ".fasta", ".fa.gz", ".fasta.gz"):

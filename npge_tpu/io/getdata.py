@@ -36,11 +36,16 @@ def fetch_accession(
     os.makedirs(dest_dir, exist_ok=True)
     dest = os.path.join(dest_dir, acc + ".fa")
     tmp = dest + ".part"
-    with urllib.request.urlopen(url, timeout=timeout) as r, open(
-        tmp, "wb"
-    ) as f:
-        shutil.copyfileobj(r, f)
-    os.replace(tmp, dest)
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(
+            tmp, "wb"
+        ) as f:
+            shutil.copyfileobj(r, f)
+        os.replace(tmp, dest)
+    except BaseException:
+        if os.path.exists(tmp):  # no stale partial downloads
+            os.unlink(tmp)
+        raise
     return dest
 
 

@@ -90,11 +90,16 @@ details.alnblock summary { cursor: pointer; font-weight: 600; }
 """
 
 _JS = """
+let _alnData = null;
+function alnData() {
+  if (_alnData === null)
+    _alnData = JSON.parse(document.getElementById('alndata').textContent);
+  return _alnData;
+}
 function renderAln(det) {
   if (det.dataset.done) return;
   det.dataset.done = 1;
-  const data = JSON.parse(
-    document.getElementById('alndata').textContent)[det.dataset.key];
+  const data = alnData()[det.dataset.key];
   if (!data) return;
   const rows = data.rows, ids = data.ids, F = rows.length;
   const n = F ? rows[0].length : 0;
@@ -172,11 +177,14 @@ def _bsa_view(bs: BlockSet, max_cols: int = 300) -> str:
     scaffold (algo/bsa.find_bsa); minus-strand entries (inversions relative
     to the scaffold) are highlighted, '.' marks a scaffold block missing
     from that row at its scaffold position."""
+    import sys
+
     from npge_tpu.algo.bsa import find_bsa
 
     try:
         bsa = find_bsa(bs)
-    except Exception:
+    except Exception as e:  # degenerate blockset: report it, don't hide it
+        print(f"report: BSA pane skipped ({e!r})", file=sys.stderr)
         return ""
     if not bsa.columns:
         return ""

@@ -168,7 +168,9 @@ class Block:
         cum = self._nongap_cum
         if cum is None:
             nong = self.alignment != C.GAP
-            cum = np.zeros((nong.shape[0], nong.shape[1] + 1), np.int64)
+            # int32: n_cols < 2^31 always; the cache can pin for the
+            # block's lifetime, so don't double its footprint with int64
+            cum = np.zeros((nong.shape[0], nong.shape[1] + 1), np.int32)
             np.cumsum(nong, axis=1, out=cum[:, 1:])
             self._nongap_cum = cum
         t0s = cum[:, c0][keep]
