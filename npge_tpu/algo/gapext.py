@@ -96,7 +96,8 @@ def _nw_traceback(H, q, t, match: int, mismatch: int, gap: int):
 
 
 def _nw_fixed_query_batch(
-    pairs: list, match: int, mismatch: int, gap: int, chunk_bytes: int = 1 << 28
+    pairs: list, match: int, mismatch: int, gap: int,
+    chunk_bytes: int = 1 << 28, no_fast: bool = False,
 ):
     """Batched :func:`_nw_fixed_query` over (q, t) pairs — bit-identical
     results (VERDICT r2 item 7: the per-pair row loop dominated gapext's
@@ -106,9 +107,39 @@ def _nw_fixed_query_batch(
     Padding is inert: pair (A_p, T_p) entries of the padded H grid depend
     only on q[:A_p] / t[:T_p] (the running-max transform accumulates left
     to right), so every traceback reads exactly the values the per-pair
-    code would produce."""
+    code would produce.
+
+    Exact-prefix fast path: when t[:len(q)] == q (with real bases — the
+    sentinel N-codes never match), the NW optimum is the all-diagonal
+    path ending at j = len(q) (diag is preferred on traceback ties and
+    trailing target positions only add gap penalties, argmax ties break
+    to the smallest j), so (aligned=q-window of t, no insertions) is
+    bit-identical to the DP result. High-identity worlds resolve most
+    flank pairs this way, skipping both the grid and the per-pair
+    traceback loop (the dominant gapext host cost at 100 genomes)."""
     out = [None] * len(pairs)
-    order = sorted(range(len(pairs)), key=lambda p: len(pairs[p][1]))
+    exact = []
+    for p, (q, t) in enumerate(pairs):
+        A = len(q)
+        if not no_fast and (
+            A == 0
+            or (
+                len(t) >= A
+                and (q < 4).all()
+                and np.array_equal(t[:A], q)
+            )
+        ):
+            out[p] = (
+                t[: A].astype(np.int16) if A else np.zeros(0, np.int16),
+                [np.zeros(0, np.uint8) for _ in range(A + 1)],
+            )
+            exact.append(p)
+    if len(exact) == len(pairs):
+        return out
+    order = sorted(
+        (p for p in range(len(pairs)) if out[p] is None),
+        key=lambda p: len(pairs[p][1]),
+    )
     pos = 0
     while pos < len(order):
         # group pairs of similar target length to bound padded waste

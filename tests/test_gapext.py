@@ -203,3 +203,26 @@ def test_nw_batch_matches_single_pairs():
         assert len(bins) == len(sins)
         for x, y in zip(bins, sins):
             np.testing.assert_array_equal(x, y)
+
+
+def test_nw_exact_prefix_fast_path_bit_identical():
+    """Pairs with t[:A] == q take the fast path (no DP grid); the result
+    must be bit-identical to the full grid + traceback."""
+    import numpy as np
+
+    from npge_tpu.algo.gapext import _nw_fixed_query_batch
+
+    rng = np.random.default_rng(17)
+    pairs = []
+    for _ in range(40):
+        A = int(rng.integers(0, 30))
+        q = rng.integers(0, 4, A).astype(np.uint8)
+        extra = rng.integers(0, 4, int(rng.integers(0, 10))).astype(np.uint8)
+        pairs.append((q, np.concatenate([q, extra])))
+    fast = _nw_fixed_query_batch(pairs, 1, -2, -3)
+    slow = _nw_fixed_query_batch(pairs, 1, -2, -3, no_fast=True)
+    for (fa, fi), (sa, si) in zip(fast, slow):
+        np.testing.assert_array_equal(fa, sa)
+        assert len(fi) == len(si)
+        for x, y in zip(fi, si):
+            np.testing.assert_array_equal(x, y)
