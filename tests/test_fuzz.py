@@ -69,3 +69,27 @@ def test_world_with_assembly_gaps_of_N():
             assert not all_n_cols.any(), (
                 f"block {b.name}: {int(all_n_cols.sum())} all-N columns"
             )
+
+
+@pytest.mark.parametrize("ng,length,sub,indel,inv,seed", [
+    (3, 3000, 0.01, 0.001, 1, 108),
+    (4, 2500, 0.004, 0.0008, 2, 109),
+    (2, 2000, 0.03, 0.002, 0, 110),
+])
+def test_fuzz_circular_world_valid(ng, length, sub, indel, inv, seed):
+    """Circular genomes: origin-wrap fragments, cyclic anchors, origin
+    joins — same validity + determinism bar as the linear fuzz."""
+    arena = synthetic_arena(
+        n_genomes=ng, length=length, seed=seed, sub_rate=sub,
+        indel_rate=indel, n_inversions=inv, circular=True,
+    )
+    cfg = default_config().replace(
+        ANCHOR_SIZE=17, MINIMIZER_WINDOW=6, MIN_LENGTH=60, MIN_END=3,
+        MAX_LOOPS=4,
+    )
+    bs, _ = build_pangenome(arena, cfg)
+    rep = check_is_pangenome(bs, cfg)
+    assert rep.ok, (seed, rep.messages)
+    h1 = blockset_hash(bs)
+    bs2, _ = build_pangenome(arena, cfg)
+    assert blockset_hash(bs2) == h1, "non-deterministic result"
