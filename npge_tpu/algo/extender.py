@@ -69,6 +69,12 @@ class CandidateBatch:
     def to_blocks(self) -> list[Block]:
         return list(self)
 
+    @classmethod
+    def empty(cls) -> "CandidateBatch":
+        z = np.zeros(0, np.int64)
+        zi = np.zeros(0, np.int32)
+        return cls(np.zeros(1, np.int64), z, zi, zi, zi)
+
     def select(self, ids: np.ndarray) -> "CandidateBatch":
         """Sub-batch of the given candidate indices (CSR gather)."""
         from npge_tpu.util.csr import csr_gather
@@ -152,9 +158,7 @@ def extend_anchor_groups(
     per-group, and the freeze rule keeps per-group results independent of
     batch composition (VERDICT r2 item 4 / SURVEY §2.6)."""
     if groups.n_groups == 0:
-        z = np.zeros(0, np.int64)
-        zi = np.zeros(0, np.int32)
-        return CandidateBatch(np.zeros(1, np.int64), z, zi, zi, zi)
+        return CandidateBatch.empty()
     if codes_dev is None:
         codes_dev = jnp.asarray(arena.codes)
     if mesh is not None:
