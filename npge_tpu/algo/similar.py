@@ -165,14 +165,20 @@ def _merge_into(profile_rows: list[np.ndarray], seg: np.ndarray,
     cons = counts.argmax(axis=0).astype(np.uint8)
     cons = np.where(counts.max(axis=0) > 0, cons, np.uint8(C.N))
     seg = np.asarray(seg, np.uint8)
-    if len(seg) == len(cons) and np.array_equal(cons, seg):
-        # identical-to-consensus fast path: NW of equal sequences is the
-        # all-diagonal alignment (traceback prefers diag), so the merge
-        # is a plain append — bit-identical to the general path. Joins
-        # splice mostly-identical indel segments, so this removes the
-        # dominant share of the ~10^5 tiny NW calls per large-world join
-        # fixpoint (see ROUND_NOTES r3 join profile).
-        return [*profile_rows, seg]
+    if len(seg) == len(cons):
+        # near-diagonal fast path: for equal lengths with m substitutions,
+        # the all-diagonal alignment scores (L-m)*match + m*mismatch while
+        # ANY gapped alignment with k>=1 indel pairs scores at most
+        # (L-k)*match + 2k*gap (zero mismatches, best case), maximized at
+        # k=1. So when m*(match-mismatch) < match - 2*gap the diagonal is
+        # STRICTLY optimal (and traceback prefers diag on ties), making
+        # the plain append bit-identical to the DP result. Default scores
+        # (1,-2,-3): m <= 2 — which covers the identical case and the
+        # SNP-differing gap segments that dominate large-world joins
+        # (property-tested against nw_align).
+        m = int((cons != seg).sum())
+        if m * (match - mismatch) < match - 2 * gap:
+            return [*profile_rows, seg]
     align = aligner or nw_align
     rc, rs = align(cons, seg, match, mismatch, gap)
     out_rows = []

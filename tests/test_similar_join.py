@@ -143,3 +143,27 @@ def test_merge_into_fast_path_parity():
         got = msa_short(segs)
         want = msa_general(segs)
         np.testing.assert_array_equal(got, want)
+
+
+def test_merge_into_diagonal_fast_path_matches_nw():
+    """The near-diagonal fast path (equal length, few substitutions) must
+    equal the NW result: nw_align on such pairs returns the gapless
+    alignment (the optimality bound the fast path relies on)."""
+    import numpy as np
+
+    from npge_tpu.algo.similar import _merge_into, nw_align
+
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        L = int(rng.integers(1, 40))
+        a = rng.integers(0, 4, L).astype(np.uint8)
+        b = a.copy()
+        for _ in range(int(rng.integers(0, 3))):  # 0-2 substitutions
+            i = int(rng.integers(0, L))
+            b[i] = (b[i] + int(rng.integers(1, 4))) % 4
+        ra, rb = nw_align(a, b, 1, -2, -3)
+        np.testing.assert_array_equal(ra, a)  # gapless: diagonal optimal
+        np.testing.assert_array_equal(rb, b)
+        merged = _merge_into([a], b, 1, -2, -3)
+        np.testing.assert_array_equal(merged[0], a)
+        np.testing.assert_array_equal(merged[1], b)
