@@ -323,13 +323,26 @@ def gapped_extend_blocks(
         room_fwd = rf[bi]
         cap_r = np.where(ori == 1, room_fwd, room_rev)
         cap_l = np.where(ori == 1, room_rev, room_fwd)
+        side_jobs = []
         for side, base, cap in (("L", base_l, cap_l), ("R", base_r, cap_r)):
             cap = np.minimum(cap, FL)
             if cap.min() >= min_room:
                 key = (id(b), side, cap.tobytes())
-                if probe_cache is not None and key in probe_cache:
-                    continue  # proven unextendable under these exact caps
-                jobs.append((bi, side, cap, base, b, key))
+                side_jobs.append((side, cap, base, key))
+        # A cached no-ext outcome is a pure replay only if the sibling side
+        # cannot change the block this pass: if the sibling runs fresh and
+        # extends, a fresh run would re-probe this side against the spliced
+        # block's larger good/total stats and could pass _trim_good where
+        # the cached probe failed (round-4 advisor finding). So a hit is
+        # honored only when EVERY roomy side of the block is a hit.
+        hits = [
+            probe_cache is not None and sj[3] in probe_cache
+            for sj in side_jobs
+        ]
+        if all(hits):
+            continue  # proven unextendable under these exact caps
+        for side, cap, base, key in side_jobs:
+            jobs.append((bi, side, cap, base, b, key))
     if not jobs:
         return 0
 

@@ -14,10 +14,26 @@ wherever egress exists.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import urllib.request
 
 DEFAULT_URL = "https://www.ebi.ac.uk/ena/browser/api/fasta/{acc}"
+
+# genomes.tsv files are commonly shared artifacts: reject anything that
+# could escape --data-dir via os.path.join ('/', '..') or inject into the
+# URL template (round-4 advisor finding). Real ENA/NCBI accessions are
+# alphanumeric with dots/underscores/dashes.
+_ACC_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _check_accession(acc: str) -> str:
+    if not _ACC_RE.match(acc) or acc in (".", "..") or acc.startswith("."):
+        raise SystemExit(
+            f"getdata: invalid accession {acc!r} (allowed: letters, digits,"
+            " '.', '_', '-'; must not start with '.')"
+        )
+    return acc
 
 
 def fetch_accession(
@@ -28,6 +44,7 @@ def fetch_accession(
 ) -> str:
     """Download one accession's FASTA into ``dest_dir/<acc>.fa``; returns
     the file path. Raises urllib.error.URLError on network failure."""
+    _check_accession(acc)
     url = (
         url_template
         or os.environ.get("NPGE_FASTA_URL")
@@ -58,6 +75,7 @@ def fetch_missing(
     paths (already-present accessions are skipped)."""
     out = []
     for acc in accessions:
+        _check_accession(acc)
         have = any(
             os.path.exists(os.path.join(dest_dir, acc + ext))
             for ext in (".fa", ".fasta", ".fa.gz", ".fasta.gz")

@@ -175,6 +175,44 @@ def test_pipeline_indel_world_more_shared_with_gapext():
     assert blockset_hash(bs_on2) == blockset_hash(bs_on)
 
 
+def test_probe_cache_replays_only_when_sibling_cannot_change_block():
+    """Round-4 advisor (medium): a cached no-ext probe for side R was
+    computed against the block's own stats; if in a LATER pass the left
+    side newly extends (its caps changed), a fresh run would re-probe R
+    against the spliced block's larger good/total and can pass. The cache
+    must not skip R in that pass."""
+    L = 400
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 4, L).astype(np.uint8)
+    b = a.copy()
+    b[220:230] = (b[220:230] + 1) % 4  # 10 mismatches inside the block
+    b[300] = (b[300] + 1) % 4          # right flank starts with a bad column
+    arena = GenomeArena(["A&c&l", "B&c&l"], [a, b])
+    blk = Block(FragmentTable([0, 1], [200, 200], [100, 100], [1, 1]))
+    l_nb = Block(FragmentTable([0, 1], [150, 150], [50, 50], [1, 1]))
+    r_nb = Block(FragmentTable([0, 1], [310, 310], [50, 50], [1, 1]))
+    cfg = default_config().replace(MIN_END=3, MIN_LENGTH=50)
+    cache: dict = {}
+    # pass 1: left side has zero room (l_nb abuts); the right probe sees
+    # caps [5,5] (split 10bp gap to r_nb) and fails on identity
+    # (90/100 block + 1 bad flank column) -> cached as unextendable
+    bs1 = BlockSet(arena, [blk, l_nb, r_nb])
+    gapped_extend_blocks(bs1, cfg, probe_cache=cache)
+    assert bs1.blocks[0] is blk, "right side must NOT extend in pass 1"
+    assert any(k[0] == id(blk) and k[1] == "R" for k in cache)
+    # pass 2: l_nb gone -> the left side extends by 200 identical columns;
+    # the right side's caps (and key) are unchanged, but its probe must
+    # re-run against the spliced stats and now extend by 5
+    bs2 = BlockSet(arena, [blk, r_nb])
+    gapped_extend_blocks(bs2, cfg, probe_cache=cache)
+    grown = bs2.blocks[0]
+    assert grown.frags.start[0] == 0, "left side must extend to seq start"
+    assert grown.frags.end[0] == 305, (
+        "cached right probe must be re-run once the sibling side changes "
+        f"the block (got end={grown.frags.end[0]})"
+    )
+
+
 def test_nw_batch_matches_single_pairs():
     """_nw_fixed_query_batch pads pairs into shared grids; results must be
     bit-identical to the one-pair-at-a-time DP for ragged lengths."""

@@ -148,6 +148,22 @@ ACGTACGT
         read_blockset(_io.StringIO(text))
 
 
+def test_getdata_rejects_path_escape_accessions(tmp_path):
+    """Accessions are interpolated into the URL template and the dest
+    path; anything outside [A-Za-z0-9._-] (or dot-led) must be rejected
+    before any filesystem or network touch (round-4 advisor finding)."""
+    import pytest
+
+    from npge_tpu.io.getdata import fetch_accession, fetch_missing
+
+    for bad in ("../../x", "a/b", "..", ".hidden", "x y", "a{b}", ""):
+        with pytest.raises(SystemExit, match="invalid accession"):
+            fetch_accession(bad, str(tmp_path))
+        with pytest.raises(SystemExit, match="invalid accession"):
+            fetch_missing([bad], str(tmp_path))
+    assert not any(tmp_path.iterdir())  # nothing written
+
+
 def test_getdata_http_fetch(tmp_path):
     """GetData over HTTP against a LOCAL server (no egress here): prepare
     --genomes --download fetches missing accessions through the

@@ -144,6 +144,45 @@ def test_merge_into_fast_path_parity():
         want = msa_general(segs)
         np.testing.assert_array_equal(got, want)
 
+    # skewed duplicate multiplicities (round-4 advisor finding): duplicate
+    # texts must vote in the running consensus with their multiplicity,
+    # matching the every-copy-merged-individually MSA. These pinned cases
+    # diverge under unweighted dedup (found by brute-force search): the
+    # duplicated texts' vote ratio decides the consensus where a and c
+    # differ, which moves the indel text b's gap placement.
+    pinned = [
+        ([3, 3, 3, 1, 2], 3, [3, 3, 3, 3, 2], 4, [3, 3, 3, 1]),
+        ([0, 3, 0], 5, [0, 0, 3], 2, [0, 3]),
+        ([3, 0, 2, 1, 1, 1, 1], 4, [3, 0, 2, 1, 1, 0, 1], 2,
+         [3, 0, 2, 1, 1]),
+    ]
+    for a, ka, c, kc, b in pinned:
+        a = np.asarray(a, np.uint8)
+        c = np.asarray(c, np.uint8)
+        b = np.asarray(b, np.uint8)
+        segs = [a.copy() for _ in range(ka)]
+        segs += [c.copy() for _ in range(kc)]
+        segs.append(b)
+        np.testing.assert_array_equal(msa_short(segs), msa_general(segs))
+    # random skewed sets on top of the pinned ones
+    for _ in range(40):
+        L = int(rng.integers(3, 12))
+        a = rng.integers(0, 4, L).astype(np.uint8)
+        c = a.copy()
+        for _ in range(int(rng.integers(1, 3))):
+            i = int(rng.integers(0, L))
+            c[i] = (c[i] + int(rng.integers(1, 4))) % 4
+        cut = int(rng.integers(0, L))
+        b = np.concatenate(
+            [a[:cut], a[cut + int(rng.integers(1, 3)):]]
+        ).astype(np.uint8)
+        if len(b) == 0:
+            continue
+        segs = [a.copy() for _ in range(int(rng.integers(1, 6)))]
+        segs += [c.copy() for _ in range(int(rng.integers(1, 6)))]
+        segs.append(b)
+        np.testing.assert_array_equal(msa_short(segs), msa_general(segs))
+
 
 def test_merge_into_diagonal_fast_path_matches_nw():
     """The near-diagonal fast path (equal length, few substitutions) must
