@@ -46,6 +46,40 @@ def _load_cfg(args) -> Config:
     return cfg
 
 
+def _setup_platform(args) -> None:
+    """Resolve --platform before any device work (VERDICT r4 weak #4).
+
+    This machine's TPU tunnel registers its PJRT plugin at jax import; when
+    that registration fails, the first device call dies with a raw
+    ``RuntimeError: Unable to initialize backend 'axon'``. Map that to a
+    one-line actionable message: ``auto`` (default) falls back to the CPU
+    backend with a warning, ``tpu`` exits cleanly, ``cpu`` forces the CPU
+    backend outright (the env var JAX_PLATFORMS is overridden during jax
+    import on tunnel machines, so only jax.config works — the same pattern
+    as tests/conftest.py and bench.py)."""
+    import jax
+
+    plat = getattr(args, "platform", None) or "auto"
+    if plat == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    try:
+        jax.devices()
+    except Exception as e:  # PJRT plugin absent / backend init failure
+        msg = str(e).splitlines()[0] if str(e) else type(e).__name__
+        if plat == "tpu":
+            raise SystemExit(
+                f"device backend unavailable ({msg}); rerun with "
+                "--platform cpu to build on the host"
+            )
+        print(
+            f"WARNING: device backend unavailable ({msg}); "
+            "falling back to --platform cpu",
+            file=sys.stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
+
+
 def _load_input(workdir: str, stage: str | None = None) -> BlockSet:
     from npge_tpu.io.checkpoint import load_stage
 
@@ -115,6 +149,9 @@ def cmd_examine(args) -> None:
 
 
 def cmd_make_pangenome(args) -> None:
+    # before the algo imports: module import builds jnp constants, which
+    # initializes the backend — the platform decision must come first
+    _setup_platform(args)
     from npge_tpu.algo.is_pangenome import check_is_pangenome
     from npge_tpu.algo.pangenome import build_pangenome
     from npge_tpu.algo.reports import json_line
@@ -201,6 +238,8 @@ def cmd_info(args) -> None:
 
 
 def cmd_check(args) -> None:
+    if getattr(args, "deep", False):
+        _setup_platform(args)  # the deep check re-seeds on device
     from npge_tpu.algo.is_pangenome import check_is_pangenome
 
     cfg = _load_cfg(args)
@@ -221,6 +260,7 @@ def cmd_hash(args) -> None:
 def cmd_run(args) -> None:
     """Run a named processor/pipe (reference: ``npge <Processor>``) or a
     Python script with meta/bs/cfg in scope (Lua-terminal parity)."""
+    _setup_platform(args)  # before imports that build jnp constants
     from npge_tpu import meta
     from npge_tpu.io.checkpoint import save_stage
 
@@ -279,6 +319,7 @@ def cmd_warmup(args) -> None:
     """
     import time
 
+    _setup_platform(args)  # before imports that build jnp constants
     from npge_tpu.algo.pangenome import build_pangenome
     from npge_tpu.util.synthetic import synthetic_arena
 
@@ -306,6 +347,12 @@ def main(argv=None) -> None:
     def common(sp, cfg_opts=True):
         sp.add_argument("-w", "--workdir", default="npge-work")
         sp.add_argument("--stage", help="load this stage's .bs instead of pangenome/input")
+        sp.add_argument(
+            "--platform", choices=("auto", "tpu", "cpu"), default="auto",
+            help="device backend for compute verbs: auto = use the device "
+                 "backend, falling back to cpu with a warning if it cannot "
+                 "initialize; tpu = require it; cpu = force the host",
+        )
         if cfg_opts:
             sp.add_argument("--config", help="JSON config file")
             sp.add_argument(
