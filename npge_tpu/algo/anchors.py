@@ -239,11 +239,14 @@ def find_anchors(
 ) -> AnchorGroups:
     """Find anchor groups over the whole arena.
 
-    The scan uploads host codes padded host-side (no per-size device pad
-    program — see ops.kmers); ``codes_dev``/``seq_id_dev`` are accepted
-    for compatibility but the scan no longer needs device-resident
-    inputs (extension stages keep their own shared device arrays).
-    Arenas with circular sequences take the cyclic-halo scan."""
+    With ``codes_dev`` (the device copy of ``arena.codes`` the extension
+    stage uploads anyway) the scan reuses it and pads on device — through
+    this machine's remote tunnel the duplicate padded-arena upload was a
+    measurable slice of the anchors stage at 17 Mbp. Without it the scan
+    uploads host codes padded host-side (no per-size device pad program —
+    the reseed consensus arenas change size every round, and even tiny
+    remote compiles cost seconds; see ops.kmers). Arenas with circular
+    sequences take the cyclic-halo scan."""
     k = k or cfg.ANCHOR_SIZE
     w = cfg.MINIMIZER_WINDOW
     if any(
@@ -254,7 +257,8 @@ def find_anchors(
         return form_groups(h, l, pos, strand, arena, cfg, k)
     # seq ids are built on device from the tiny offsets table
     h, l, pos, strand = find_anchor_occurrences(
-        arena.codes, seq_id_dev, k, cfg.MINIMIZER_WINDOW,
+        arena.codes if codes_dev is None else codes_dev,
+        seq_id_dev, k, cfg.MINIMIZER_WINDOW,
         offsets=arena.offsets,
     )
     return form_groups(h, l, pos, strand, arena, cfg, k)

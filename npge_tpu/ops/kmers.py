@@ -402,6 +402,23 @@ def _scan_compact(codes, seq_id_of, k, w: int, cap: int):
 
 
 @jax.jit
+def _sort_pack(buf, cnt):
+    """Sort compacted rows by (key_hi, key_lo, position) ON DEVICE and
+    prepend the count as column 0, so the host learns count AND rows in a
+    single readback (VERDICT r4 item 1: the per-scan count sync + prefix
+    fetch were two serialized tunnel round-trips). Row keys are unique
+    (positions are), so any comparison sort yields np.lexsort's exact
+    order; fill rows (key UINT_MAX, pos = padded length > any real pos)
+    sort strictly after every real row."""
+    h, l, packed = buf[0], buf[1], buf[2]
+    pos = packed & jnp.uint32(0x7FFFFFFF)
+    order = jnp.lexsort((pos, l, h))
+    first = jnp.full((3, 1), cnt, jnp.uint32)
+    rows = jnp.stack([h[order], l[order], packed[order]])
+    return jnp.concatenate([first, rows], axis=1)
+
+
+@jax.jit
 def _sid_from_offsets(offsets, codes_p):
     """int32 sequence id per (padded) position, built ON DEVICE from the
     tiny offsets table. Saves the 4 bytes/position host->device seq_id
@@ -451,6 +468,7 @@ def set_pad_ratchet(on: bool | None) -> None:
     if not on:
         _PAD_FLOOR[0] = 0
         _CAP_FLOOR[0] = 0
+        _N_GUESS.clear()
         from npge_tpu.ops.extend import reset_rows_floor
 
         reset_rows_floor()
@@ -463,10 +481,17 @@ def _ratchet_on() -> bool:
 
 
 # accumulated wall per phase across calls (diagnosing remote-tunnel cost:
-# scan_sync = dispatch+compute+4-byte count readback; compact_fetch =
-# compaction dispatch + compact-row readback; host_sort = np.lexsort)
+# scan_sync = dispatch+compute+first readback (count+rows fused on the
+# ratchet path); compact_fetch = top-up/row readbacks beyond the first;
+# host_sort = np.lexsort — zero on the ratchet path, which sorts on
+# device)
 SCAN_TIMINGS = {"scan_sync": 0.0, "compact_fetch": 0.0, "host_sort": 0.0,
                 "calls": 0}
+
+# previous selected-row count per padded arena size: sizes the speculative
+# single-readback prefix (reseed rounds scan same-bucket consensus arenas
+# whose counts vary slowly)
+_N_GUESS: dict[int, int] = {}
 
 
 def reset_scan_timings() -> dict:
@@ -539,33 +564,51 @@ def find_anchor_occurrences(
 
     SCAN_TIMINGS["calls"] += 1
     if _ratchet_on():
-        # remote tunnel: one fused dispatch, then a tiny count fetch and
-        # a pow2-prefix row fetch. The cap ratchet keeps the executable
-        # shape stable; a truncated first call (count > cap) retries
-        # once and raises the floor.
+        # remote tunnel: one fused scan dispatch + one device sort+pack
+        # dispatch (both async), then a SINGLE blocking readback of a
+        # speculative pow2 prefix — column 0 carries the count, so the
+        # common case costs exactly one tunnel round-trip (VERDICT r4
+        # item 1). The prefix is sized by the previous count at this
+        # padded arena size; a short guess tops up with a second fetch,
+        # a truncated cap (count > cap) retries and raises the floor.
         cap = min(Tp, max(1 << 14, _CAP_FLOOR[0]))
         while True:
             _t0 = _time.perf_counter()
             buf, cnt = _scan_compact(codes, seq_id_of, k, w, cap)
-            n = int(cnt)  # blocks on the scan; 4-byte readback
+            out = _sort_pack(buf, cnt)
+            guess = _N_GUESS.get(Tp, 0)
+            if guess:
+                m = min(cap, max(1 << 12, 1 << (guess - 1).bit_length()))
+                # eager prefix slice: one tiny XLA program per (cap, m)
+                # pair, persistently cached; moves count + ~12 B * m
+                flat = np.asarray(out[:, : m + 1])
+                n = int(flat[0, 0])
+            else:  # first scan at this size: count-first, then prefix
+                n = int(cnt)
+                m = 0
             SCAN_TIMINGS["scan_sync"] += _time.perf_counter() - _t0
             if n <= cap:
                 break
             cap = min(Tp, 1 << (n - 1).bit_length())
         _CAP_FLOOR[0] = max(_CAP_FLOOR[0], cap)
+        _N_GUESS[Tp] = n
         if n == 0:
             e = np.zeros(0)
             return (
                 e.astype(np.uint32), e.astype(np.uint32),
                 e.astype(np.int64), e.astype(np.int8),
             )
-        _t0 = _time.perf_counter()
-        m = min(cap, max(1 << 12, 1 << (n - 1).bit_length()))
-        # eager prefix slice: one tiny XLA program per (cap, m) pair,
-        # persistently cached; the fetch then moves only ~12 B * pow2(n)
-        flat = np.asarray(buf[:, :m] if m < cap else buf)
-        SCAN_TIMINGS["compact_fetch"] += _time.perf_counter() - _t0
-        h, l, packed = flat[0, :n], flat[1, :n], flat[2, :n]
+        if n > m:  # no guess, or the speculative prefix fell short
+            _t0 = _time.perf_counter()
+            m = min(cap, max(1 << 12, 1 << (n - 1).bit_length()))
+            flat = np.asarray(out[:, : m + 1])
+            SCAN_TIMINGS["compact_fetch"] += _time.perf_counter() - _t0
+        h, l, packed = (
+            flat[0, 1 : n + 1], flat[1, 1 : n + 1], flat[2, 1 : n + 1]
+        )
+        s = np.where(packed >> 31, -1, 1).astype(np.int8)
+        idx = (packed & np.uint32(0x7FFFFFFF)).astype(np.int64)
+        return h, l, idx, s  # device-sorted by (key_hi, key_lo, pos)
     else:
         # CPU backend: count-first keeps the compaction sized to the
         # result (no wasted padded compute, no retry re-scan)

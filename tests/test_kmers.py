@@ -286,3 +286,37 @@ def test_fused_scan_truncation_retry():
         set_pad_ratchet(None)
     for a, b, name in zip(base, fused, ("hi", "lo", "pos", "strand")):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_fused_scan_speculative_prefix_paths():
+    """The ratchet path's single-readback speculative prefix (count packed
+    into column 0, rows device-sorted) must be bit-identical to the CPU
+    path regardless of the guess: absent (count-first), exact, too small
+    (top-up fetch), and too large."""
+    from npge_tpu.ops.kmers import (
+        _N_GUESS, find_anchor_occurrences, set_pad_ratchet,
+    )
+
+    arena = synthetic_arena(n_genomes=3, length=4000, seed=21)
+    cj = jnp.asarray(arena.codes)
+    off = arena.offsets
+    base = find_anchor_occurrences(cj, None, 15, 8, offsets=off)
+    n = len(base[0])
+    assert n > 0
+    Tp = 1 << (arena.total_length - 1).bit_length()
+    try:
+        set_pad_ratchet(True)
+        for guess in (None, n, 1, Tp):  # absent / exact / short / huge
+            _N_GUESS.clear()
+            if guess is not None:
+                _N_GUESS[Tp] = guess
+            got = find_anchor_occurrences(cj, None, 15, 8, offsets=off)
+            for a, b, name in zip(
+                base, got, ("hi", "lo", "pos", "strand")
+            ):
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"guess={guess} {name}"
+                )
+            assert _N_GUESS[Tp] == n  # guess updated to the real count
+    finally:
+        set_pad_ratchet(None)
