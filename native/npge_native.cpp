@@ -255,6 +255,8 @@ int64_t npge_resolve_gapless(
     int64_t cap = 0;
     unsigned char* freec = nullptr;
     unsigned char* goodc = nullptr;
+    unsigned char* mnc = nullptr;
+    unsigned char* mxc = nullptr;
     for (int64_t oi = 0; oi < n_cand; ++oi) {
         int64_t ci = order[oi];
         int64_t fa = cand_offsets[ci], fb = cand_offsets[ci + 1];
@@ -273,30 +275,45 @@ int64_t npge_resolve_gapless(
                 }
         if (selfov) continue;
         if (n_cols > cap) {
-            delete[] freec; delete[] goodc;
+            delete[] freec; delete[] goodc; delete[] mnc; delete[] mxc;
             cap = n_cols * 2;
             freec = new unsigned char[cap];
             goodc = new unsigned char[cap];
+            mnc = new unsigned char[cap];
+            mxc = new unsigned char[cap];
         }
-        for (int64_t c = 0; c < n_cols; ++c) { freec[c] = 1; }
-        // free mask + per-column identity
-        for (int64_t c = 0; c < n_cols; ++c) {
-            unsigned char mn = 255, mx = 0;
-            bool freecol = true;
-            for (int64_t i = fa; i < fb; ++i) {
-                int64_t pos = f_ori[i] == 1
-                                  ? (int64_t)f_start[i] + c
-                                  : (int64_t)f_start[i] + f_len[i] - 1 - c;
-                int64_t gp = seq_offsets[f_seq[i]] + pos;
-                if (occ[gp]) freecol = false;
-                unsigned char ch = codes[gp];
-                if (f_ori[i] != 1 && ch < 4) ch = 3 - ch;
-                if (ch < mn) mn = ch;
-                if (ch > mx) mx = ch;
+        // free mask + per-column identity, accumulated FRAGMENT-major:
+        // each fragment's span is read with unit stride (streaming,
+        // prefetch-friendly) instead of hopping across F distant genome
+        // regions per column — the column-major form was the resolve
+        // stage's dominant cost at 17 Mbp (cache miss per access)
+        memset(freec, 1, (size_t)n_cols);
+        memset(mnc, 255, (size_t)n_cols);
+        memset(mxc, 0, (size_t)n_cols);
+        for (int64_t i = fa; i < fb; ++i) {
+            const unsigned char* cd = codes + seq_offsets[f_seq[i]];
+            const unsigned char* oc = occ + seq_offsets[f_seq[i]];
+            int64_t st = f_start[i];
+            if (f_ori[i] == 1) {
+                for (int64_t c = 0; c < n_cols; ++c) {
+                    unsigned char ch = cd[st + c];
+                    freec[c] &= (unsigned char)(oc[st + c] == 0);
+                    if (ch < mnc[c]) mnc[c] = ch;
+                    if (ch > mxc[c]) mxc[c] = ch;
+                }
+            } else {
+                int64_t last = st + f_len[i] - 1;
+                for (int64_t c = 0; c < n_cols; ++c) {
+                    unsigned char ch = cd[last - c];
+                    freec[c] &= (unsigned char)(oc[last - c] == 0);
+                    if (ch < 4) ch = (unsigned char)(3 - ch);
+                    if (ch < mnc[c]) mnc[c] = ch;
+                    if (ch > mxc[c]) mxc[c] = ch;
+                }
             }
-            freec[c] = freecol ? 1 : 0;
-            goodc[c] = (mn == mx && mx < 4) ? 1 : 0;
         }
+        for (int64_t c = 0; c < n_cols; ++c)
+            goodc[c] = (mnc[c] == mxc[c] && mxc[c] < 4) ? 1 : 0;
         // maximal free runs
         int64_t c = 0;
         while (c < n_cols) {
@@ -324,7 +341,7 @@ int64_t npge_resolve_gapless(
             }
             // accept slice [a0, a1)
             if (nb >= max_out_blocks || nf + F > max_out_frags) {
-                delete[] freec; delete[] goodc;
+                delete[] freec; delete[] goodc; delete[] mnc; delete[] mxc;
                 return -1;
             }
             for (int64_t i = fa; i < fb; ++i) {
@@ -336,7 +353,7 @@ int64_t npge_resolve_gapless(
                 o_len[nf] = (int32_t)ln;
                 o_ori[nf] = f_ori[i];
                 int64_t base = seq_offsets[f_seq[i]] + st;
-                for (int64_t x = 0; x < ln; ++x) occ[base + x] = 1;
+                memset(occ + base, 1, (size_t)ln);
                 ++nf;
             }
             o_src[nb] = ci;
@@ -344,7 +361,7 @@ int64_t npge_resolve_gapless(
             out_offsets[nb] = nf;
         }
     }
-    delete[] freec; delete[] goodc;
+    delete[] freec; delete[] goodc; delete[] mnc; delete[] mxc;
     return nb;
 }
 

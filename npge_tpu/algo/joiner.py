@@ -155,11 +155,15 @@ def _gap_segments(bs: BlockSet, b1: Block, b2: Block, pairing, flip1, flip2):
 
 def _join_good_incremental(
     bs: BlockSet, b1: Block, b2: Block, pairing, flip1, flip2,
-    cfg: Config, cache: _StatCache,
-) -> tuple[bool, int, int]:
+    cfg: Config, cache: _StatCache, gaps=None,
+) -> tuple[bool, int, int, "np.ndarray | None"]:
     """Good-block predicate of the joined block WITHOUT materializing it.
-    Returns (good, mid_good_count, mid_width). Exactly equivalent to
-    is_good_block(_join_two(...)) for blocks of length >= m on both sides."""
+    Returns (good, mid_good_count, mid_width, mid_msa). Exactly equivalent
+    to is_good_block(_join_two(...)) for blocks of length >= m on both
+    sides. ``gaps`` (from :func:`_gap_segments`, same args) and the
+    returned mid MSA let callers skip recomputing either — joinable_pairs
+    computed the segments for the N-guard already, and _join_two splices
+    the identical MSA."""
     from npge_tpu.model.stats import column_classes
 
     g1, t1, h1, ta1 = cache.get(b1)
@@ -168,7 +172,9 @@ def _join_good_incremental(
         h1, ta1 = ta1[::-1], h1[::-1]
     if flip2:
         h2, ta2 = ta2[::-1], h2[::-1]
-    gaps = _gap_segments(bs, b1, b2, pairing, flip1, flip2)
+    if gaps is None:
+        gaps = _gap_segments(bs, b1, b2, pairing, flip1, flip2)
+    mid = None
     if all(len(g) == 0 for g in gaps):
         mid_good, mid_w = 0, 0
     else:
@@ -182,13 +188,14 @@ def _join_good_incremental(
     if t1 >= m and t2 >= m:
         ends_ok = bool(h1[:m].all() and ta2[len(ta2) - m :].all())
     else:
-        return (None, mid_good, mid_w)  # caller falls back to full build
+        # caller falls back to full build
+        return (None, mid_good, mid_w, mid)
     ok = (
         total >= cfg.MIN_LENGTH
         and ends_ok
         and cfg.MIN_IDENTITY.le_ratio(goodn, total)
     )
-    return (ok, mid_good, mid_w)
+    return (ok, mid_good, mid_w, mid)
 
 
 def joinable_pairs(
@@ -245,6 +252,7 @@ def joinable_pairs(
         if rejected is not None and rkey in rejected:
             continue
         mid_stats = None
+        gaps = mid = None
         if cfg is not None and n1 >= 2:
             # assembly-gap guard: a gap containing N is unknown sequence —
             # bridging it would assert homology across an assembly gap and
@@ -258,9 +266,9 @@ def joinable_pairs(
                     rejected.add(rkey)
                 continue
             if cache is not None:
-                ok, mg, mw = _join_good_incremental(
+                ok, mg, mw, mid = _join_good_incremental(
                     bs, bs.blocks[b1], bs.blocks[b2], pairing,
-                    flip1, flip2, cfg, cache,
+                    flip1, flip2, cfg, cache, gaps=gaps,
                 )
                 if ok is not None:
                     mid_stats = (mg, mw)
@@ -269,14 +277,14 @@ def joinable_pairs(
             if ok is None:  # short block or no cache: full construction
                 joined = _join_two(
                     bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg,
-                    flip1, flip2,
+                    flip1, flip2, gaps=gaps, mid=mid,
                 )
                 ok = is_good_block(joined, bs.arena, cfg)
             if not ok:
                 if rejected is not None:
                     rejected.add(rkey)
                 continue
-        out.append((b1, b2, pairing, flip1, flip2, mid_stats))
+        out.append((b1, b2, pairing, flip1, flip2, mid_stats, gaps, mid))
     return out
 
 
@@ -288,16 +296,23 @@ def _join_two(
     cfg: Config | None = None,
     flip1: bool = False,
     flip2: bool = False,
+    gaps: list | None = None,
+    mid: np.ndarray | None = None,
 ) -> Block:
     """Join b2 after b1 in b1's column space, bridging per-pair gaps.
     flip1/flip2 invert the respective block first (fragment row order is
-    preserved by inverse, so pairing indices stay valid)."""
+    preserved by inverse, so pairing indices stay valid). ``gaps`` / ``mid``
+    accept the segment texts and their MSA already computed by
+    joinable_pairs/_join_good_incremental (identical by construction —
+    inverse preserves fragment intervals, so the gap geometry matches)."""
     arena = bs.arena
     if flip1:
         b1 = b1.inverse()
     if flip2:
         b2 = b2.inverse()
-    gaps: list[np.ndarray] = []
+    have_gaps = gaps is not None
+    if not have_gaps:
+        gaps = []
     frows = []
     for f1, f2, wrap in pairing:
         s, st1, ln1, o = b1.frags.row(f1)
@@ -305,10 +320,13 @@ def _join_two(
         glo, gw, jstart = _pair_gap_geometry(
             arena, s, st1, ln1, st2, ln2, o, wrap
         )
-        seg = arena.circ_codes(s, glo, gw) if gw else arena.seq_codes(s)[:0]
-        if o != 1:
-            seg = C.revcomp(seg)
-        gaps.append(np.asarray(seg, np.uint8))
+        if not have_gaps:
+            seg = (
+                arena.circ_codes(s, glo, gw) if gw else arena.seq_codes(s)[:0]
+            )
+            if o != 1:
+                seg = C.revcomp(seg)
+            gaps.append(np.asarray(seg, np.uint8))
         frows.append((s, jstart, ln1 + gw + ln2, o))
     no_gaps = all(len(g) == 0 for g in gaps)
     if no_gaps and b1.is_gapless and b2.is_gapless:
@@ -323,8 +341,9 @@ def _join_two(
             axis=1,
         )
     else:
-        sw = dict(match=cfg.SW_MATCH, mismatch=cfg.SW_MISMATCH, gap=cfg.SW_GAP) if cfg else {}
-        mid = msa_short(gaps, **sw)
+        if mid is None:
+            sw = dict(match=cfg.SW_MATCH, mismatch=cfg.SW_MISMATCH, gap=cfg.SW_GAP) if cfg else {}
+            mid = msa_short(gaps, **sw)
         aln = np.concatenate(
             [
                 rows1[[p[0] for p in pairing]],
@@ -362,11 +381,12 @@ def join_blocks(
             return total
         consumed: set[int] = set()
         new_blocks: list[Block] = []
-        for b1, b2, pairing, flip1, flip2, mid_stats in cands:
+        for b1, b2, pairing, flip1, flip2, mid_stats, gaps, mid in cands:
             if b1 in consumed or b2 in consumed:
                 continue
             joined = _join_two(
-                bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip1, flip2
+                bs, bs.blocks[b1], bs.blocks[b2], pairing, cfg, flip1, flip2,
+                gaps=gaps, mid=mid,
             )
             if cache is not None and mid_stats is not None:
                 cache.put_joined(
