@@ -27,6 +27,7 @@ from npge_tpu.model.fragments import FragmentTable
 def consensus_arena(
     bs: BlockSet,
     cache: dict | None = None,
+    stats: dict | None = None,
 ) -> tuple[GenomeArena, list[tuple[int, np.ndarray]]]:
     """One consensus sequence per block (canonical block order).
 
@@ -50,10 +51,16 @@ def consensus_arena(
         hit = cache.get(id(b)) if cacheable else None
         if hit is not None:
             cons, cmap = hit[1], hit[2]
+            if stats is not None:
+                stats["cache.cons_hit"] = stats.get("cache.cons_hit", 0) + 1
         else:
             cons, cmap = b.consensus_with_map(bs.arena)
             if cacheable:
                 cache[id(b)] = (b, cons, cmap)
+                if stats is not None:
+                    stats["cache.cons_miss"] = (
+                        stats.get("cache.cons_miss", 0) + 1
+                    )
         if len(cons) == 0:
             continue
         names.append(f"cons{i}&b&l")

@@ -339,10 +339,14 @@ def gapped_extend_blocks(
             probe_cache is not None and sj[3] in probe_cache
             for sj in side_jobs
         ]
-        if all(hits):
+        if side_jobs and all(hits):
+            if timings is not None:
+                timings.count("cache.gapext_probe_skip", len(side_jobs))
             continue  # proven unextendable under these exact caps
         for side, cap, base, key in side_jobs:
             jobs.append((bi, side, cap, base, b, key))
+    if timings is not None:
+        timings.count("cache.gapext_probe_run", len(jobs))
     if not jobs:
         return 0
 

@@ -82,16 +82,23 @@ class _StatCache:
     cache may therefore outlive a single join pass — the pangenome reseed
     loop carries one across rounds (VERDICT r3 weak #1/#3)."""
 
-    def __init__(self, bs: BlockSet, m: int):
+    def __init__(self, bs: BlockSet, m: int, stats: dict | None = None):
         self.bs = bs
         self.m = m
         self.d: dict[int, tuple] = {}  # id -> (block, stats-tuple)
+        self.stats = stats  # shared hit/miss counter dict (VERDICT r4 #10)
+
+    def _bump(self, key: str) -> None:
+        if self.stats is not None:
+            self.stats[key] = self.stats.get(key, 0) + 1
 
     def get(self, block: Block):
         key = id(block)
         hit = self.d.get(key)
         if hit is not None:
+            self._bump("cache.join_stat_hit")
             return hit[1]
+        self._bump("cache.join_stat_miss")
         from npge_tpu.model.stats import column_classes
 
         rows = block.rows(self.bs.arena)
@@ -250,6 +257,8 @@ def joinable_pairs(
             bs.blocks[b1], bs.blocks[b2], flip1, flip2, tuple(pairing)
         )
         if rejected is not None and rkey in rejected:
+            if cache is not None:
+                cache._bump("cache.join_rejected_skip")
             continue
         mid_stats = None
         gaps = mid = None

@@ -123,7 +123,7 @@ def build_pangenome(
     # (gapext, every reseed round) only pay for blocks that changed
     from npge_tpu.algo.joiner import _StatCache
 
-    join_cache = _StatCache(bs, cfg.MIN_END)
+    join_cache = _StatCache(bs, cfg.MIN_END, stats=t.counters)
     join_rejected: set = set()
     gapext_cache: dict = {}  # no-ext probe memo, see gapped_extend_blocks
     n_joins = join_blocks(bs, cfg, join_cache, join_rejected)
@@ -185,9 +185,11 @@ def build_pangenome(
         occ = occupancy(arena, bs.blocks)
         full = BlockSet(
             arena,
-            list(bs.blocks) + rest_blocks(arena, occ, rest_cache),
+            list(bs.blocks) + rest_blocks(
+                arena, occ, rest_cache, stats=t.counters
+            ),
         )
-        full.canonicalize(canon_memo)
+        full.canonicalize(canon_memo, stats=t.counters)
         h = blockset_hash(full)
         if h == prev_hash and k <= cfg.MIN_ANCHOR_SIZE:
             # unchanged blockset and no finer seed size left to try
@@ -197,7 +199,7 @@ def build_pangenome(
         k = max(cfg.MIN_ANCHOR_SIZE, k - (cfg.RESEED_SHRINK if round_no else 0))
         t.add("reseed.occ", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        cons, src = consensus_arena(full, cons_cache)
+        cons, src = consensus_arena(full, cons_cache, stats=t.counters)
         # the scan pads+uploads host codes itself; cons_dev serves the
         # extension stage's window gathers only
         cons_dev = jnp.asarray(cons.codes)

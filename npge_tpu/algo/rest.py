@@ -16,7 +16,8 @@ from npge_tpu.model.fragments import FragmentTable
 
 
 def rest_blocks(
-    arena: GenomeArena, occ: list[np.ndarray], cache: dict | None = None
+    arena: GenomeArena, occ: list[np.ndarray], cache: dict | None = None,
+    stats: dict | None = None,
 ) -> list[Block]:
     """One unique block per maximal uncovered interval (ori=+1).
 
@@ -56,6 +57,12 @@ def rest_blocks(
                 )
                 if cache is not None:
                     cache[key] = b
+                    if stats is not None:
+                        stats["cache.rest_miss"] = (
+                            stats.get("cache.rest_miss", 0) + 1
+                        )
+            elif stats is not None:
+                stats["cache.rest_hit"] = stats.get("cache.rest_hit", 0) + 1
             out.append(b)
     if cache is not None and len(cache) > 2 * len(out) + 64:
         # bound the cache to the current cover's scale (vanished runs

@@ -259,7 +259,8 @@ class BlockSet:
             t = t.concat(b.frags)
         return t
 
-    def canonicalize(self, memo: dict | None = None) -> None:
+    def canonicalize(self, memo: dict | None = None,
+                     stats: dict | None = None) -> None:
         """Deterministic global order: canonical fragments within blocks,
         blocks sorted by their first fragment key. Makes hashes/outputs
         independent of construction order (SURVEY §7 hard part 4).
@@ -274,10 +275,18 @@ class BlockSet:
             hit = memo.get(id(b)) if memo is not None else None
             if hit is not None:
                 out.append(hit[1])
+                if stats is not None:
+                    stats["cache.canon_hit"] = (
+                        stats.get("cache.canon_hit", 0) + 1
+                    )
                 continue
             cb = b.canonicalize()
             if memo is not None:
                 memo[id(b)] = (b, cb)
+                if stats is not None:
+                    stats["cache.canon_miss"] = (
+                        stats.get("cache.canon_miss", 0) + 1
+                    )
             out.append(cb)
         self.blocks = out
         self.blocks.sort(

@@ -95,3 +95,27 @@ def test_deconseq_fast_path_parity():
     ha = sorted(block_hash(b, arena) for b in fast)
     hb = sorted(block_hash(b, arena) for b in slow)
     assert ha == hb
+
+
+def test_cache_hit_counters_recorded():
+    """VERDICT r4 item 10: the reseed loop's cross-round caches must report
+    hit/miss counters in StageTimings, and on a multi-round world the
+    object-identity caches must actually hit (the host-speed story rests
+    on them)."""
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.config import default_config
+
+    arena = synthetic_arena(
+        n_genomes=4, length=60_000, seed=5, sub_rate=0.004,
+        indel_rate=0.0003, n_inversions=2,
+    )
+    bs, tm = build_pangenome(arena, default_config())
+    c = tm.counters
+    for key in ("cache.cons_hit", "cache.canon_hit", "cache.rest_hit",
+                "cache.join_stat_hit", "cache.join_stat_miss"):
+        assert c.get(key, 0) > 0, (key, c)
+    # identity-carried blocks must make later rounds mostly cache hits
+    # (the first round is all misses by definition, so only the consensus
+    # cache — keyed to multi-fragment blocks that survive rounds — gets a
+    # majority floor)
+    assert c["cache.cons_hit"] >= c.get("cache.cons_miss", 0), c
