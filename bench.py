@@ -346,45 +346,73 @@ def _section_main(name: str) -> dict:
         # machine's tunnel (measured 3s-12min, pure server-side wait) —
         # pay it once, MEASURED SEPARATELY via a trivial jit so the
         # pipeline walls report work, not tunnel lease administration.
+        # Every headline number carries min/med/max over >= 3 in-process
+        # reps (VERDICT r4 weak #3: single draws read as regressions when
+        # the real cause is tunnel/host weather).
         import jax.numpy as jnp
+
+        def spread(vals):
+            s = sorted(vals)
+            return [s[0], s[len(s) // 2], s[-1]]
 
         t0 = time.perf_counter()
         jax.jit(lambda x: (x * x).sum())(jnp.arange(512)).block_until_ready()
         claim_s = time.perf_counter() - t0
+        # first run = the warmup-assisted cold wall (persistent XLA cache
+        # warm across processes; this process pays executable loads only)
         out = bench_pipeline()
         out["device_claim_wait_s"] = round(claim_s, 1)
-        # steady-state rerun: all executables loaded, device claimed
-        warm = bench_pipeline(prefix="pipeline_warm")
-        out["pipeline_warm_wall_s"] = warm["pipeline_warm_wall_s"]
+        # steady-state reruns: all executables loaded, device claimed
+        warm_walls = []
+        for _ in range(3):
+            warm = bench_pipeline(prefix="pipeline_warm")
+            warm_walls.append(warm["pipeline_warm_wall_s"])
+        out["pipeline_warm_walls_s"] = spread(warm_walls)
+        out["pipeline_warm_wall_s"] = spread(warm_walls)[1]
         out["pipeline_warm_stage_s"] = warm["pipeline_warm_stage_s"]
+        out["pipeline_warm_scan_s"] = warm["pipeline_warm_scan_s"]
         # flagship 17x1Mb: first run loads/compiles the 2^25 scan + F=32
-        # extension executables, the rerun is the steady-state number
+        # extension executables, the reruns are the steady-state number
         CANON17 = dict(seed=42, sub_rate=0.002, indel_rate=0.0001,
                        n_inversions=3)
         out.update(
             bench_pipeline(prefix="pipeline17", n_genomes=17, world=CANON17)
         )
-        warm17 = bench_pipeline(
-            prefix="pipeline17_warm", n_genomes=17, world=CANON17
-        )
-        out["pipeline17_warm_wall_s"] = warm17["pipeline17_warm_wall_s"]
+        warm17_walls = []
+        for _ in range(3):
+            warm17 = bench_pipeline(
+                prefix="pipeline17_warm", n_genomes=17, world=CANON17
+            )
+            warm17_walls.append(warm17["pipeline17_warm_wall_s"])
+        out["pipeline17_warm_walls_s"] = spread(warm17_walls)
+        out["pipeline17_warm_wall_s"] = spread(warm17_walls)[1]
         out["pipeline17_warm_stage_s"] = warm17["pipeline17_warm_stage_s"]
-        # fresh rng per sub-benchmark: matches the standalone sections'
-        # per-section seeding, keeping cross-round numbers comparable
-        sw_tpu, sw_cpu, sw_agree = bench_sw(np.random.default_rng(0))
+        out["pipeline17_warm_scan_s"] = warm17["pipeline17_warm_scan_s"]
+        # fresh rng per sub-benchmark rep: identical inputs, so the spread
+        # isolates tunnel/host weather, not data variation
+        sw_reps, cpu_reps = [], []
+        for _ in range(3):
+            sw_tpu, sw_cpu, sw_agree = bench_sw(np.random.default_rng(0))
+            sw_reps.append(sw_tpu)
+            cpu_reps.append(sw_cpu)
         out.update({
-            "value": round(sw_tpu, 0),
-            "vs_baseline": round(sw_tpu / sw_cpu, 2),
+            "value": round(spread(sw_reps)[1], 0),
+            "sw_spread_cells_per_sec": [round(v, 0) for v in spread(sw_reps)],
+            "vs_baseline": round(spread(sw_reps)[1] / max(cpu_reps), 2),
             "baseline_def": (
                 "vectorized-NumPy same band recurrence, this host"
             ),
-            "cpu_sw_cells_per_sec": round(sw_cpu, 0),
+            "cpu_sw_cells_per_sec": round(max(cpu_reps), 0),
             "sw_results_match_cpu": sw_agree,
             "device": str(jax.devices()[0]),
         })
-        out["extension_cells_per_sec"] = round(
-            bench_extension(np.random.default_rng(0)), 0
-        )
+        ext_reps = [
+            bench_extension(np.random.default_rng(0)) for _ in range(3)
+        ]
+        out["extension_cells_per_sec"] = round(spread(ext_reps)[1], 0)
+        out["extension_spread_cells_per_sec"] = [
+            round(v, 0) for v in spread(ext_reps)
+        ]
         return out
     raise SystemExit(f"unknown section {name}")
 

@@ -144,6 +144,7 @@ def extend_anchor_groups(
     codes_dev=None,
     timings=None,
     mesh=None,
+    counter_prefix: str = "extend",
 ) -> CandidateBatch:
     """Extend all groups; return the columnar CandidateBatch of gapless
     candidates (one per group; a lazy sequence of Blocks),
@@ -203,8 +204,16 @@ def extend_anchor_groups(
         if proc_shard:
             from npge_tpu.parallel.distributed import host_slice
 
+            if timings is not None:
+                timings.count(
+                    f"mp.{counter_prefix}_groups_total", len(sel)
+                )
             a0, a1 = host_slice(len(sel), pi, pc)
             sel = sel[a0:a1]
+            if timings is not None:
+                timings.count(
+                    f"mp.{counter_prefix}_groups_owned", a1 - a0
+                )
         if len(sel) == 0:
             continue
         b_cap = max(256, _ELEM_BUDGET // (fb * chunk))
@@ -268,7 +277,9 @@ def extend_anchor_groups(
         results_r[batch] = np.asarray(er)[:B]
         if timings is not None:
             # both sides scan up to rounds*chunk columns per real fragment
-            timings.count("extend_cells", 2 * n_real * int(rounds) * chunk)
+            timings.count(
+                f"{counter_prefix}_cells", 2 * n_real * int(rounds) * chunk
+            )
     if proc_shard:
         from jax.experimental import multihost_utils
 

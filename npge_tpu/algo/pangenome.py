@@ -222,7 +222,8 @@ def build_pangenome(
         t.add("reseed.scan", time.perf_counter() - t0)
         t0 = time.perf_counter()
         cand_cons = extend_anchor_groups(
-            cons, groups, cfg, cons_dev, mesh=mesh
+            cons, groups, cfg, cons_dev, timings=t, mesh=mesh,
+            counter_prefix="reseed.extend",
         )
         mapped = deconseq(cand_cons, src, full)
         t.add("reseed.extend", time.perf_counter() - t0)

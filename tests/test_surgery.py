@@ -175,3 +175,40 @@ def test_merge_unique_intra_sweep_chain():
 
     occ = occupancy(arena, bs.blocks)
     assert occ[0].all() and occ[1].all()
+
+
+def test_split_repeats_500_fragment_family_fast():
+    """VERDICT r4 weak #7: a 500-fragment repeat family (IS elements at
+    100+ genomes) must split in seconds — the conflict matrix updates
+    incrementally on merge instead of an O(F^3 G) per-merge rebuild, and
+    fragment_distances is matmul-vectorized."""
+    import time
+
+    from npge_tpu.algo.surgery import split_repeats
+    from npge_tpu.model.arena import GenomeArena
+
+    rng = np.random.default_rng(123)
+    a_text = rng.integers(0, 4, 120).astype(np.uint8)
+    b_text = a_text.copy()
+    m = rng.random(120) < 0.4
+    b_text[m] = (b_text[m] + rng.integers(1, 4, m.sum())) % 4
+    G = 250
+    names = [f"GEN{i}&chr1&l" for i in range(G)]
+    seqs = [np.concatenate([a_text, b_text]) for _ in range(G)]
+    arena = GenomeArena(names, seqs)
+    rows = [(i, 0, 120, 1) for i in range(G)] + [
+        (i, 120, 120, 1) for i in range(G)
+    ]
+    block = Block(FragmentTable.from_rows(rows))
+    bs = BlockSet(arena, [block])
+    cfg = default_config().replace(MIN_LENGTH=100, MIN_END=3)
+    t0 = time.perf_counter()
+    out = split_repeats(block, bs, cfg)
+    wall = time.perf_counter() - t0
+    assert wall < 30.0, f"split_repeats took {wall:.1f}s at F=500"
+    assert out is not None and len(out) == 2
+    sizes = sorted(b.n_frags for b in out)
+    assert sizes == [G, G]
+    # each cluster is one paralog family: identical texts -> good blocks
+    starts = {tuple(sorted(set(b.frags.start.tolist()))) for b in out}
+    assert starts == {(0,), (120,)}
