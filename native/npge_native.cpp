@@ -366,3 +366,60 @@ int64_t npge_resolve_gapless(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Global Needleman-Wunsch with linear gaps — exact mirror of
+// npge_tpu.algo.similar.nw_align (values AND traceback tie-breaks:
+// diag > up > left). The Python version pays ~0.2 ms of numpy call
+// overhead per (short) gap-patch alignment; the Joiner runs thousands per
+// build. out_a/out_b must hold n+m bytes; the alignment is written to the
+// FINAL L bytes (returned), exactly as the Python reversed-list build.
+
+extern "C" {
+
+int64_t npge_nw_align(const unsigned char* a, int64_t n,
+                      const unsigned char* b, int64_t m,
+                      int64_t match, int64_t mismatch, int64_t gap,
+                      unsigned char gap_code,
+                      unsigned char* out_a, unsigned char* out_b) {
+    int64_t w = m + 1;
+    int64_t* H = new int64_t[(n + 1) * w];
+    for (int64_t j = 0; j <= m; ++j) H[j] = j * gap;
+    for (int64_t i = 1; i <= n; ++i) {
+        int64_t* cur = H + i * w;
+        const int64_t* prev = cur - w;
+        cur[0] = i * gap;
+        unsigned char ai = a[i - 1];
+        for (int64_t j = 1; j <= m; ++j) {
+            int64_t best = prev[j - 1] + (b[j - 1] == ai ? match : mismatch);
+            int64_t up = prev[j] + gap;
+            if (up > best) best = up;
+            int64_t left = cur[j - 1] + gap;
+            if (left > best) best = left;
+            cur[j] = best;
+        }
+    }
+    int64_t i = n, j = m, p = n + m;
+    while (i > 0 || j > 0) {
+        int64_t cur = H[i * w + j];
+        if (i > 0 && j > 0 &&
+            cur == H[(i - 1) * w + (j - 1)] +
+                       (a[i - 1] == b[j - 1] ? match : mismatch)) {
+            --p;
+            out_a[p] = a[--i];
+            out_b[p] = b[--j];
+        } else if (i > 0 && cur == H[(i - 1) * w + j] + gap) {
+            --p;
+            out_a[p] = a[--i];
+            out_b[p] = gap_code;
+        } else {
+            --p;
+            out_a[p] = gap_code;
+            out_b[p] = b[--j];
+        }
+    }
+    delete[] H;
+    return n + m - p;
+}
+
+}  // extern "C"

@@ -255,19 +255,21 @@ def find_anchors(
     ):
         h, l, pos, strand = _cyclic_scan(arena, k, w)
         return form_groups(h, l, pos, strand, arena, cfg, k)
-    # seq ids are built on device from the tiny offsets table
-    h, l, pos, strand = find_anchor_occurrences(
+    # seq ids are built on device from the tiny offsets table; the scan
+    # returns device-derived group ids — the 64-bit keys stay on device
+    # (one uint32/row crosses the tunnel instead of three)
+    gid, pos, strand = find_anchor_occurrences(
         arena.codes if codes_dev is None else codes_dev,
         seq_id_dev, k, cfg.MINIMIZER_WINDOW,
-        offsets=arena.offsets,
+        offsets=arena.offsets, want_gid=True,
     )
-    return form_groups(h, l, pos, strand, arena, cfg, k)
+    return form_groups_gid(gid, pos, strand, arena, cfg, k)
 
 
 def form_groups(h, l, pos, strand, arena: GenomeArena, cfg: Config, k: int) -> AnchorGroups:
     """Group key-sorted occurrences, apply size bounds and parallel-group
-    dedupe. Shared by the single-device and mesh-sharded paths so both are
-    bit-identical by construction."""
+    dedupe. Shared by the cyclic, mesh-sharded, and multihost paths so all
+    are bit-identical by construction."""
     if len(h) == 0:
         return AnchorGroups(
             k,
@@ -279,6 +281,22 @@ def form_groups(h, l, pos, strand, arena: GenomeArena, cfg: Config, k: int) -> A
     new = np.ones(len(h), dtype=bool)
     new[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
     gid = np.cumsum(new) - 1
+    return form_groups_gid(gid, pos, strand, arena, cfg, k)
+
+
+def form_groups_gid(
+    gid, pos, strand, arena: GenomeArena, cfg: Config, k: int
+) -> AnchorGroups:
+    """Group formation from precomputed group ids of key-sorted
+    occurrences (same-key runs, ids dense ascending)."""
+    if len(gid) == 0:
+        return AnchorGroups(
+            k,
+            np.zeros(1, np.int64),
+            np.asarray(pos, np.int64),
+            np.zeros(0, np.int32),
+            np.asarray(strand, np.int8),
+        )
     sizes = np.bincount(gid)
     keep_g = (sizes >= 2) & (sizes <= cfg.MAX_ANCHOR_FRAGMENTS)
     keep_m = keep_g[gid]

@@ -111,7 +111,15 @@ def banded_nw_align(
 
 def nw_align(a: np.ndarray, b: np.ndarray, match=1, mismatch=-2, gap=-3):
     """Global alignment of two code arrays. Returns (row_a, row_b) uint8
-    arrays of equal length with GAP fills."""
+    arrays of equal length with GAP fills. The C++ path (native.nw_align,
+    bit-identical values and tie-breaks, parity-tested) serves the
+    thousands of short gap-patch alignments per build; NumPy below is the
+    no-toolchain fallback."""
+    from npge_tpu import native
+
+    res = native.nw_align(a, b, match, mismatch, gap, C.GAP)
+    if res is not None:
+        return res
     n, m = len(a), len(b)
     H = np.zeros((n + 1, m + 1), np.int64)
     H[:, 0] = np.arange(n + 1) * gap

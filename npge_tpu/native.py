@@ -75,6 +75,12 @@ def _load():
         ctypes.c_int64, ctypes.c_int64,
     ]
     lib.npge_resolve_gapless.restype = ctypes.c_int64
+    lib.npge_nw_align.argtypes = [
+        c_u8p, ctypes.c_int64, c_u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8,
+        c_u8p, c_u8p,
+    ]
+    lib.npge_nw_align.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -158,6 +164,24 @@ def mark_intervals(occ: np.ndarray, start: np.ndarray, length: np.ndarray):
         return
     for s, ln in zip(start, length):
         occ[s : s + ln] = 1
+
+
+def nw_align(a: np.ndarray, b: np.ndarray, match: int, mismatch: int,
+             gap: int, gap_code: int):
+    """C++ global NW (linear gaps) — exact mirror of
+    algo.similar.nw_align's values and traceback tie-breaks. Returns
+    (row_a, row_b) uint8 arrays, or None if the library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    a = np.ascontiguousarray(a, np.uint8)
+    b = np.ascontiguousarray(b, np.uint8)
+    n, m = len(a), len(b)
+    out_a = np.empty(n + m, np.uint8)
+    out_b = np.empty(n + m, np.uint8)
+    L = lib.npge_nw_align(a, n, b, m, match, mismatch, gap, gap_code,
+                          out_a, out_b)
+    return out_a[n + m - L :], out_b[n + m - L :]
 
 
 def resolve_gapless(

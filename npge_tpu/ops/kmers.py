@@ -419,6 +419,30 @@ def _sort_pack(buf, cnt):
 
 
 @jax.jit
+def _sort_pack_gid(buf, cnt):
+    """:func:`_sort_pack` variant that drops the 64-bit keys from the
+    fetched buffer entirely: after the device sort, consumers only need
+    GROUP BOUNDARIES (key != previous key), never the key values — so one
+    uint32 per row moves over the tunnel instead of three (the initial
+    17 Mbp scan's row fetch was ~50 MB). Layout per row:
+    bit 31 = strand sign, bit 30 = new-group flag, bits 0..29 = position
+    (callers guarantee padded arena < 2^30; ops route to the key-carrying
+    path above that). Column 0 carries the count."""
+    h, l, packed = buf[0], buf[1], buf[2]
+    pos = packed & jnp.uint32(0x7FFFFFFF)
+    order = jnp.lexsort((pos, l, h))
+    hs, ls, ps = h[order], l[order], packed[order]
+    new = jnp.concatenate(
+        [
+            jnp.ones(1, jnp.bool_),
+            (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1]),
+        ]
+    )
+    out = ps | (new.astype(jnp.uint32) << 30)
+    return jnp.concatenate([jnp.full((1,), cnt, jnp.uint32), out])
+
+
+@jax.jit
 def _sid_from_offsets(offsets, codes_p):
     """int32 sequence id per (padded) position, built ON DEVICE from the
     tiny offsets table. Saves the 4 bytes/position host->device seq_id
@@ -503,12 +527,19 @@ def reset_scan_timings() -> dict:
 
 def find_anchor_occurrences(
     codes: jax.Array, seq_id_of: jax.Array | None, k: int, w: int,
-    offsets: np.ndarray | None = None, mesh=None,
+    offsets: np.ndarray | None = None, mesh=None, want_gid: bool = False,
 ):
     """Full device pass: scan -> minimizer sample -> compact (device).
 
     Returns host numpy arrays (key_hi, key_lo, pos, strand), sorted by key
     then position, one row per sampled valid non-palindromic occurrence.
+
+    With ``want_gid`` the return is (gid, pos, strand) instead: group ids
+    of the sorted occurrences (same-key runs). On the tunnel path this
+    moves only ONE uint32 per row over the link (strand bit 31, new-group
+    flag bit 30, position bits 0..29 — see :func:`_sort_pack_gid`); the
+    64-bit keys never leave the device. Arenas padded to >= 2^30 fall
+    back to the key-carrying fetch with host-derived gids.
 
     Inputs are padded to a power-of-2 length (N sentinel / seq_id -1) before
     the scan so consensus arenas of nearby sizes hit one compiled scan
@@ -571,18 +602,24 @@ def find_anchor_occurrences(
         # item 1). The prefix is sized by the previous count at this
         # padded arena size; a short guess tops up with a second fetch,
         # a truncated cap (count > cap) retries and raises the floor.
+        gid_mode = want_gid and Tp < (1 << 30)
         cap = min(Tp, max(1 << 14, _CAP_FLOOR[0]))
         while True:
             _t0 = _time.perf_counter()
             buf, cnt = _scan_compact(codes, seq_id_of, k, w, cap)
-            out = _sort_pack(buf, cnt)
+            out = (
+                _sort_pack_gid(buf, cnt) if gid_mode
+                else _sort_pack(buf, cnt)
+            )
             guess = _N_GUESS.get(Tp, 0)
             if guess:
                 m = min(cap, max(1 << 12, 1 << (guess - 1).bit_length()))
                 # eager prefix slice: one tiny XLA program per (cap, m)
-                # pair, persistently cached; moves count + ~12 B * m
-                flat = np.asarray(out[:, : m + 1])
-                n = int(flat[0, 0])
+                # pair, persistently cached; moves count + 4 or 12 B * m
+                flat = np.asarray(
+                    out[: m + 1] if gid_mode else out[:, : m + 1]
+                )
+                n = int(flat[0] if gid_mode else flat[0, 0])
             else:  # first scan at this size: count-first, then prefix
                 n = int(cnt)
                 m = 0
@@ -594,6 +631,8 @@ def find_anchor_occurrences(
         _N_GUESS[Tp] = n
         if n == 0:
             e = np.zeros(0)
+            if want_gid:
+                return e.astype(np.int64), e.astype(np.int64), e.astype(np.int8)
             return (
                 e.astype(np.uint32), e.astype(np.uint32),
                 e.astype(np.int64), e.astype(np.int8),
@@ -601,13 +640,25 @@ def find_anchor_occurrences(
         if n > m:  # no guess, or the speculative prefix fell short
             _t0 = _time.perf_counter()
             m = min(cap, max(1 << 12, 1 << (n - 1).bit_length()))
-            flat = np.asarray(out[:, : m + 1])
+            flat = np.asarray(out[: m + 1] if gid_mode else out[:, : m + 1])
             SCAN_TIMINGS["compact_fetch"] += _time.perf_counter() - _t0
+        if gid_mode:
+            rows = flat[1 : n + 1]
+            s = np.where(rows >> 31, -1, 1).astype(np.int8)
+            gid = (
+                np.cumsum((rows >> 30) & np.uint32(1)).astype(np.int64) - 1
+            )
+            idx = (rows & np.uint32(0x3FFFFFFF)).astype(np.int64)
+            return gid, idx, s
         h, l, packed = (
             flat[0, 1 : n + 1], flat[1, 1 : n + 1], flat[2, 1 : n + 1]
         )
         s = np.where(packed >> 31, -1, 1).astype(np.int8)
         idx = (packed & np.uint32(0x7FFFFFFF)).astype(np.int64)
+        if want_gid:  # huge-arena fallback: derive gids from the keys
+            new = np.ones(n, bool)
+            new[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
+            return np.cumsum(new).astype(np.int64) - 1, idx, s
         return h, l, idx, s  # device-sorted by (key_hi, key_lo, pos)
     else:
         # CPU backend: count-first keeps the compaction sized to the
@@ -620,6 +671,8 @@ def find_anchor_occurrences(
         SCAN_TIMINGS["scan_sync"] += _time.perf_counter() - _t0
         if n == 0:
             e = np.zeros(0)
+            if want_gid:
+                return e.astype(np.int64), e.astype(np.int64), e.astype(np.int8)
             return (
                 e.astype(np.uint32), e.astype(np.uint32),
                 e.astype(np.int64), e.astype(np.int8),
@@ -636,4 +689,9 @@ def find_anchor_occurrences(
     idx = (packed & np.uint32(0x7FFFFFFF)).astype(np.int64)
     order = np.lexsort((idx, l, h))
     SCAN_TIMINGS["host_sort"] += _time.perf_counter() - _t0
-    return h[order], l[order], idx[order], s[order]
+    h, l, idx, s = h[order], l[order], idx[order], s[order]
+    if want_gid:
+        new = np.ones(n, bool)
+        new[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
+        return np.cumsum(new).astype(np.int64) - 1, idx, s
+    return h, l, idx, s
