@@ -29,6 +29,10 @@ from npge_tpu.ops.extend import (
 # target element budget per (B, F, S) gather to bound device memory
 _ELEM_BUDGET = 1 << 26
 
+# round-1 + compacted-tail engages at this many groups (list so tests can
+# force either path; results are bit-identical — parity-tested)
+_SPLIT_TAIL_MIN_GROUPS = [4096]
+
 
 class CandidateBatch:
     """Columnar gapless candidate set — one group per candidate, SoA.
@@ -196,6 +200,21 @@ def extend_anchor_groups(
 
         batch_sharding = NamedSharding(mesh, P("d", None))
 
+    # round-1 + compacted-tail scheme (big single-process calls): the
+    # fused while_loop recomputes every round over the WHOLE padded batch,
+    # but after round 1 only a small fraction of groups is still active —
+    # at 17 Mbp ~85 % of the fused path's cells were frozen rows. Instead:
+    # dispatch ONE extend_chunk_rows round per batch (async), fetch all
+    # round-1 results in a single concatenated readback, gather the still-
+    # active rows into one compacted batch, and resume the fused loop with
+    # carried state. Bit-identical by the freeze rule (per-group results
+    # never depend on batch composition). Mesh/small calls keep the fused
+    # path (an extra sync would dominate their tiny compute).
+    split_tail = (
+        mesh is None and max_rounds > 1
+        and groups.n_groups >= _SPLIT_TAIL_MIN_GROUPS[0]
+    )
+    round1 = []  # (batch, Bp, base2, cap2, fm2, ext_dev, len_dev, id_dev, n_real)
     pending = []  # (batch_gids, el_dev, er_dev) — sync once at the end
     for fb in sorted({_bucket_f(int(s)) for s in sizes}):
         sel = gids[
@@ -256,6 +275,20 @@ def extend_anchor_groups(
             base2 = np.concatenate([base_l, base_r])
             cap2 = np.concatenate([cl, cr])
             fm2 = np.concatenate([fmask, fmask])
+            if split_tail:
+                from npge_tpu.ops.extend import extend_chunk_rows
+
+                z = jnp.zeros(2 * Bp, jnp.int32)
+                ext_d, len_d, id_d = extend_chunk_rows(
+                    codes2_rows, 2 * T, jnp.asarray(base2),
+                    jnp.asarray(fm2), jnp.asarray(cap2), z, z,
+                    num, den, chunk,
+                )
+                round1.append(
+                    (batch, Bp, base2, cap2, fm2, ext_d, id_d,
+                     int(valid.sum()))
+                )
+                continue
             if mesh is not None:
                 import jax
 
@@ -271,6 +304,92 @@ def extend_anchor_groups(
             # cells counter multiplies by rounds actually executed, read
             # back lazily with the results (VERDICT r2 weak #9)
             pending.append((batch, el, er, rounds, int(valid.sum())))
+    if round1:
+        from npge_tpu.ops.extend import extend_rounds_rows as _err
+
+        # single concatenated readback for every batch's round-1 results
+        flat = np.asarray(
+            jnp.concatenate(
+                [x for (_b, _p, _b2, _c2, _f2, e, i, _n) in round1
+                 for x in (e, i)]
+            )
+        )
+        pos = 0
+        per_batch = []  # (batch, Bp, el, er)
+        tb, tc, tf, tcl, tci, towner = [], [], [], [], [], []
+        fb_max = max(b2.shape[1] for (_b, _p, b2, *_r) in round1)
+        for batch, Bp, base2, cap2, fm2, _e, _i, n_real in round1:
+            n2 = 2 * Bp
+            ext = flat[pos : pos + n2]
+            ident = flat[pos + n2 : pos + 2 * n2]
+            pos += 2 * n2
+            if timings is not None:
+                timings.count(f"{counter_prefix}_cells", 2 * n_real * chunk)
+            # rows still active after round 1: consumed the full chunk and
+            # every present fragment has cap room left (a room-less active
+            # row would add ext=0 in the fused loop — skipping it is exact)
+            rem = np.maximum(cap2 - ext[:, None], 0)
+            rem_ok = np.where(fm2, rem, 1 << 30).min(axis=1) > 0
+            act = np.flatnonzero((ext == chunk) & rem_ok)
+            if len(act):
+                pad_f = fb_max - base2.shape[1]
+
+                def wide(a, fill):
+                    return (
+                        a if pad_f == 0
+                        else np.pad(
+                            a, ((0, 0), (0, pad_f)), constant_values=fill
+                        )
+                    )
+
+                tb.append(wide(base2[act] + ext[act, None], 0))
+                tc.append(wide(rem[act], 0))
+                tf.append(wide(fm2[act], False))
+                tcl.append(ext[act])
+                tci.append(ident[act])
+                towner.append((len(per_batch), act))
+            per_batch.append((batch, Bp, ext.copy(), None))
+        if tb:
+            TB = np.concatenate(tb).astype(np.int32)
+            TC = np.concatenate(tc).astype(np.int32)
+            TF = np.concatenate(tf)
+            TCL = np.concatenate(tcl).astype(np.int32)
+            TCI = np.concatenate(tci).astype(np.int32)
+            n_tail = len(TB)
+            rows_p = max(256, 1 << (n_tail - 1).bit_length())
+            pad = rows_p - n_tail
+
+            def padr(a, fill):
+                return np.pad(
+                    a,
+                    ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                    constant_values=fill,
+                )
+
+            total_t, r_fin = _err(
+                codes2_rows, 2 * T, jnp.asarray(padr(TB, 0)),
+                jnp.asarray(padr(TF, False)), jnp.asarray(padr(TC, 0)),
+                num, den, chunk, max_rounds,
+                carry_len=jnp.asarray(padr(TCL, 0)),
+                carry_ident=jnp.asarray(padr(TCI, 0)),
+                start_round=jnp.int32(1),
+            )
+            tt = np.asarray(total_t)[:n_tail]
+            rounds_tail = int(r_fin) - 1
+            if timings is not None and rounds_tail > 0:
+                timings.count(
+                    f"{counter_prefix}_cells",
+                    int(TF.sum()) * rounds_tail * chunk,
+                )
+            off = 0
+            for pb_i, act in towner:
+                batch, Bp, ext, _ = per_batch[pb_i]
+                ext[act] += tt[off : off + len(act)]
+                off += len(act)
+        for batch, Bp, ext, _ in per_batch:
+            B = len(batch)
+            results_l[batch] = ext[:Bp][:B]
+            results_r[batch] = ext[Bp : Bp + B]
     for batch, el, er, rounds, n_real in pending:
         B = len(batch)
         results_l[batch] = np.asarray(el)[:B]

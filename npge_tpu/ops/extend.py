@@ -227,6 +227,9 @@ def extend_rounds_rows(
     ident_den: int,
     chunk: int,
     max_rounds: int,
+    carry_len=None,       # int32[B] columns already extended (tail resume)
+    carry_ident=None,     # int32[B] identical columns among them
+    start_round=None,     # int32 scalar: rounds already executed
 ):
     """All extension rounds fused into ONE device dispatch.
 
@@ -236,9 +239,19 @@ def extend_rounds_rows(
     batch triggering more rounds (batch-composition determinism, SURVEY §7
     hard part 4). A ``lax.while_loop`` exits early once every group froze —
     no per-round host sync, no per-round dispatch latency.
+
+    ``carry_len``/``carry_ident``/``start_round`` resume a batch whose
+    first round(s) already ran (the round-1-for-all + compacted-tail
+    scheme in algo/extender): ``base``/``cap`` must already reflect the
+    executed rounds; the returned total counts only the NEW rounds here.
     """
     B = base.shape[0]
     z = jnp.zeros(B, jnp.int32)
+    cl0 = z if carry_len is None else carry_len
+    ci0 = z if carry_ident is None else carry_ident
+    r0 = jnp.int32(0) if start_round is None else jnp.asarray(
+        start_round, jnp.int32
+    )
 
     def cond(state):
         r, *_rest, cont = state
@@ -257,7 +270,7 @@ def extend_rounds_rows(
         )
         return (r + 1, base, cap, cl, ci, total + ext, active.any())
 
-    state = (jnp.int32(0), base, cap, z, z, z, jnp.bool_(True))
+    state = (r0, base, cap, cl0, ci0, z, jnp.bool_(True))
     state = jax.lax.while_loop(cond, body, state)
     return state[5], state[0]
 

@@ -479,7 +479,7 @@ def sort_selected(canon_hi, canon_lo, positions, strand):
 # positions scan as N windows (never valid), so results are
 # pad-invariant (tested).
 _PAD_FLOOR = [0]  # retained for API compat; no longer consulted
-_CAP_FLOOR = [0]
+_CAP_FLOOR: dict[int, int] = {}  # per padded-arena-size compaction cap
 _RATCHET: list[bool | None] = [None]
 
 
@@ -491,7 +491,7 @@ def set_pad_ratchet(on: bool | None) -> None:
     _RATCHET[0] = on
     if not on:
         _PAD_FLOOR[0] = 0
-        _CAP_FLOOR[0] = 0
+        _CAP_FLOOR.clear()
         _N_GUESS.clear()
         from npge_tpu.ops.extend import reset_rows_floor
 
@@ -603,7 +603,10 @@ def find_anchor_occurrences(
         # padded arena size; a short guess tops up with a second fetch,
         # a truncated cap (count > cap) retries and raises the floor.
         gid_mode = want_gid and Tp < (1 << 30)
-        cap = min(Tp, max(1 << 14, _CAP_FLOOR[0]))
+        # cap floor is PER padded arena size: a global floor made every
+        # ~2 MB reseed consensus scan sort+compact at the 17 Mbp initial
+        # scan's 4M-row cap (device sort over mostly fill rows)
+        cap = min(Tp, max(1 << 14, _CAP_FLOOR.get(Tp, 0)))
         while True:
             _t0 = _time.perf_counter()
             buf, cnt = _scan_compact(codes, seq_id_of, k, w, cap)
@@ -627,7 +630,7 @@ def find_anchor_occurrences(
             if n <= cap:
                 break
             cap = min(Tp, 1 << (n - 1).bit_length())
-        _CAP_FLOOR[0] = max(_CAP_FLOOR[0], cap)
+        _CAP_FLOOR[Tp] = max(_CAP_FLOOR.get(Tp, 0), cap)
         _N_GUESS[Tp] = n
         if n == 0:
             e = np.zeros(0)

@@ -250,3 +250,44 @@ def test_rows_ratchet_invariance():
     finally:
         set_pad_ratchet(None)
     np.testing.assert_array_equal(base, ratcheted)
+
+
+def test_split_tail_extension_matches_fused():
+    """The round-1-for-all + compacted-tail scheme must produce the exact
+    per-group extensions of the fused while_loop path (the freeze rule
+    makes per-group results batch-composition-independent), across worlds
+    with indels, inversions, and deep extensions, and through the full
+    pipeline (identical blockset hash)."""
+    import numpy as np
+
+    from npge_tpu.algo import extender
+    from npge_tpu.algo.anchors import find_anchors
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.config import default_config
+    from npge_tpu.model.hashing import blockset_hash
+    from npge_tpu.util.synthetic import synthetic_arena
+
+    arena = synthetic_arena(
+        n_genomes=3, length=60_000, seed=19, sub_rate=0.004,
+        indel_rate=0.0004, n_inversions=2,
+    )
+    cfg = default_config()
+    groups = find_anchors(arena, cfg)
+    assert groups.n_groups > 100
+    old = extender._SPLIT_TAIL_MIN_GROUPS[0]
+    try:
+        extender._SPLIT_TAIL_MIN_GROUPS[0] = 1 << 60  # force fused
+        fused = extender.extend_anchor_groups(arena, groups, cfg)
+        extender._SPLIT_TAIL_MIN_GROUPS[0] = 1  # force split
+        split = extender.extend_anchor_groups(arena, groups, cfg)
+        for attr in ("offsets", "seq", "start", "length", "ori"):
+            np.testing.assert_array_equal(
+                getattr(fused, attr), getattr(split, attr), err_msg=attr
+            )
+        extender._SPLIT_TAIL_MIN_GROUPS[0] = 1
+        bs_split, _ = build_pangenome(arena, cfg)
+        extender._SPLIT_TAIL_MIN_GROUPS[0] = 1 << 60
+        bs_fused, _ = build_pangenome(arena, cfg)
+        assert blockset_hash(bs_split) == blockset_hash(bs_fused)
+    finally:
+        extender._SPLIT_TAIL_MIN_GROUPS[0] = old
