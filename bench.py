@@ -334,6 +334,11 @@ def _section_main(name: str) -> dict:
         )
         r1.update(r17)
         r1["cpu_loadavg_1m_after17"] = round(os.getloadavg()[0], 2)
+        r1.update(bench_pipeline(
+            prefix="cpu_pipeline50", n_genomes=50, length=300_000,
+            world=dict(seed=50, sub_rate=0.001, indel_rate=0.00005,
+                       n_inversions=1),
+        ))
         return r1
     if name == "probe":
         import jax.numpy as jnp
@@ -413,6 +418,16 @@ def _section_main(name: str) -> dict:
         out["extension_spread_cells_per_sec"] = [
             round(v, 0) for v in spread(ext_reps)
         ]
+        # BASELINE config 4 (50 genomes sharded-scale analog), one warm
+        # pair — VERDICT r4 weak #6 asked for a stage table in the
+        # artifact for at least one of configs 4-5
+        # same world as benchmarks/scale_50x300kb.py (recorded table)
+        CANON50 = dict(seed=50, sub_rate=0.001, indel_rate=0.00005,
+                       n_inversions=1)
+        bench_pipeline(prefix="pipeline50_cold", n_genomes=50,
+                       length=300_000, world=CANON50)
+        out.update(bench_pipeline(prefix="pipeline50", n_genomes=50,
+                                  length=300_000, world=CANON50))
         return out
     raise SystemExit(f"unknown section {name}")
 
@@ -479,6 +494,10 @@ def main():
     if out.get("pipeline17_warm_wall_s") and out.get("cpu_pipeline17_wall_s"):
         out["pipeline17_warm_vs_cpu_backend"] = round(
             out["cpu_pipeline17_wall_s"] / out["pipeline17_warm_wall_s"], 2
+        )
+    if out.get("pipeline50_wall_s") and out.get("cpu_pipeline50_wall_s"):
+        out["pipeline50_vs_cpu_backend"] = round(
+            out["cpu_pipeline50_wall_s"] / out["pipeline50_wall_s"], 2
         )
     print(json.dumps(out), flush=True)
 

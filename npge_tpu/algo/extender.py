@@ -216,10 +216,26 @@ def extend_anchor_groups(
     )
     round1 = []  # (batch, Bp, base2, cap2, fm2, ext_dev, len_dev, id_dev, n_real)
     pending = []  # (batch_gids, el_dev, er_dev) — sync once at the end
-    for fb in sorted({_bucket_f(int(s)) for s in sizes}):
-        sel = gids[
-            (sizes <= fb) & (sizes > (fb // 2 if fb > 2 else 1)) & ~bad_group
-        ]
+    fbs = sorted({_bucket_f(int(s)) for s in sizes})
+    # small calls (every reseed round: a few hundred consensus groups) pad
+    # everything into ONE F-bucket: each extra bucket costs a dispatch +
+    # sync round-trip through the tunnel, which dwarfs the padded compute
+    # at this scale. Per-group results are batch-composition-independent
+    # (freeze rule), so results are bit-identical either way.
+    single_bucket = (
+        mesh is None and groups.n_groups < _SPLIT_TAIL_MIN_GROUPS[0]
+    )
+    if single_bucket:
+        fbs = fbs[-1:]
+    for fb in fbs:
+        if single_bucket:
+            sel = gids[~bad_group]
+        else:
+            sel = gids[
+                (sizes <= fb)
+                & (sizes > (fb // 2 if fb > 2 else 1))
+                & ~bad_group
+            ]
         if proc_shard:
             from npge_tpu.parallel.distributed import host_slice
 
