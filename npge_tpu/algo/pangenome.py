@@ -152,6 +152,7 @@ def build_pangenome(
     cons_cache: dict = {}  # id -> (block, cons, cmap), see consensus_arena
     rest_cache: dict = {}  # (seq, start, len) -> Block, see rest_blocks
     canon_memo: dict = {}  # id -> (block, canonical block), see canonicalize
+    hash_memo: dict = {}  # id -> (block, hash), see blockset_hash
 
     def sweep_caches() -> None:
         """Evict cache entries for blocks no longer reachable from the
@@ -161,11 +162,19 @@ def build_pangenome(
         the live set (round-4 review finding)."""
         live = {id(b) for b in bs.blocks}
         live.update(id(b) for b in snapshot)
+        # rest fillers are reachable only through rest_cache, but they are
+        # re-canonicalized/hashed/consensus'd EVERY round as part of the
+        # full blockset: evicting their entries made the canon/hash memos
+        # all-miss at the 100-genome scale (47.5k uniques x 8 rounds of
+        # re-canonicalization — the r4 100x150kb host churn)
+        live.update(id(b) for b in rest_cache.values())
         for k in [k for k in canon_memo if k not in live]:
             del canon_memo[k]
         canon_live = live | {id(v[1]) for v in canon_memo.values()}
         for k in [k for k in cons_cache if k not in canon_live]:
             del cons_cache[k]
+        for k in [k for k in hash_memo if k not in canon_live]:
+            del hash_memo[k]
         for k in [k for k in join_cache.d if k not in live]:
             del join_cache.d[k]
         for t in [
@@ -190,7 +199,7 @@ def build_pangenome(
             ),
         )
         full.canonicalize(canon_memo, stats=t.counters)
-        h = blockset_hash(full)
+        h = blockset_hash(full, hash_memo)
         if h == prev_hash and k <= cfg.MIN_ANCHOR_SIZE:
             # unchanged blockset and no finer seed size left to try. The
             # last executed round scanned THIS blockset at k=MIN and its

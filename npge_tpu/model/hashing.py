@@ -41,13 +41,27 @@ def block_hash(block: Block, arena) -> int:
     return _h64(payload)
 
 
-def blockset_hash(bs: BlockSet) -> int:
+def blockset_hash(bs: BlockSet, memo: dict | None = None) -> int:
     """Order-independent: hash of the sorted block hashes.
 
     (Not an XOR fold: XOR cancels duplicate blocks — {A, A, B} would collide
     with {B} plus any self-cancelling pair, and pre-Rest candidate sets can
     legitimately contain duplicates.)
-    """
-    hs = sorted(block_hash(b, bs.arena) for b in bs.blocks)
+
+    ``memo`` (id -> (block, hash)) carries per-block hashes across calls:
+    blocks are immutable and block names never enter the hash, so the
+    reseed loop's per-round full-blockset hash only pays for blocks that
+    actually changed. Entries pin their block object (id-alias safety)."""
+    if memo is None:
+        hs = sorted(block_hash(b, bs.arena) for b in bs.blocks)
+    else:
+        hs = []
+        for b in bs.blocks:
+            hit = memo.get(id(b))
+            if hit is None:
+                hit = (b, block_hash(b, bs.arena))
+                memo[id(b)] = hit
+            hs.append(hit[1])
+        hs.sort()
     payload = b"%d;" % len(hs) + b"".join(h.to_bytes(8, "little") for h in hs)
     return _h64(payload)
