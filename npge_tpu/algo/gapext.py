@@ -293,8 +293,6 @@ def gapped_extend_blocks(
     SW + path recovery on flanks that already proved unextendable (the
     dominant reseed-round host cost, VERDICT r3 weak #1/#3). Entries pin
     their block object, so ids cannot alias."""
-    from npge_tpu.ops.sw import sw_extend_auto
-
     arena = bs.arena
     blocks = bs.blocks
     multi = [i for i, b in enumerate(blocks) if b.n_frags >= 2]
@@ -354,17 +352,22 @@ def gapped_extend_blocks(
     def flank(base, cap):
         return codes2[base : base + cap]
 
-    def _sent(w, code):  # N sentinel for the equality-only SW kernel
-        return np.where(w >= 4, np.uint8(code), w)
+    # per-pair window bases/caps assembled VECTORIZED (the per-pair Python
+    # slicing here cost seconds at 100+ genomes: ~150k pairs per pass);
+    # the padded SW matrices are built by two gathers in ops.sw
+    from npge_tpu.ops.sw import sw_extend_windows
 
-    qs, ts, owner = [], [], []
-    for j, (bi, side, cap, base, _b0, _key) in enumerate(jobs):
-        q = _sent(flank(int(base[0]), int(cap[0])), 250)
-        for fi in range(1, len(cap)):
-            qs.append(q)
-            # target N-codes get a different sentinel than query N-codes
-            ts.append(_sent(flank(int(base[fi]), int(cap[fi])), 251))
-            owner.append(j)
+    n_pairs = np.array([len(c) - 1 for (_b, _s, c, *_r) in jobs], np.int64)
+    owner = np.repeat(np.arange(len(jobs)), n_pairs)
+    qb = np.concatenate(
+        [np.full(len(cap) - 1, base[0]) for (_b, _s, cap, base, *_r) in jobs]
+    )
+    qcap = np.concatenate(
+        [np.full(len(cap) - 1, cap[0]) for (_b, _s, cap, *_r) in jobs]
+    )
+    tb = np.concatenate([base[1:] for (_b, _s, _c, base, *_r) in jobs])
+    tcap = np.concatenate([cap[1:] for (_b, _s, cap, *_r) in jobs])
+    n_all = len(qb)
     # multi-process data parallelism (VERDICT r4 weak #8): each process
     # runs the SW endpoint pass on a contiguous slice of the pair list,
     # then the per-pair endpoint rows allgather-merge — the job list is
@@ -379,33 +382,31 @@ def gapped_extend_blocks(
 
         from npge_tpu.parallel.distributed import host_slice
 
-        a0, a1 = host_slice(len(qs), pi, pc)
-        part = (
-            sw_extend_auto(qs[a0:a1], ts[a0:a1], L=FL, **sw)
-            if a1 > a0
-            else np.zeros((0, 3), np.int32)
+        a0, a1 = host_slice(n_all, pi, pc)
+        part = sw_extend_windows(
+            codes2, qb[a0:a1], qcap[a0:a1], tb[a0:a1], tcap[a0:a1],
+            L=FL, **sw,
         )
-        cap_rows = -(-len(qs) // pc)
+        cap_rows = -(-n_all // pc)
         buf = np.zeros((cap_rows, 3), np.int32)
         buf[: len(part)] = part
         g = multihost_utils.process_allgather(buf)  # [pc, cap_rows, 3]
         sizes = [
-            host_slice(len(qs), r, pc) for r in range(pc)
+            host_slice(n_all, r, pc) for r in range(pc)
         ]
         ends = np.concatenate(
             [g[r, : b - a] for r, (a, b) in enumerate(sizes)]
-        ) if len(qs) else np.zeros((0, 3), np.int32)
+        ) if n_all else np.zeros((0, 3), np.int32)
         if timings is not None:
             timings.count("mp.gapext_pairs_owned", a1 - a0)
     else:
-        ends = sw_extend_auto(qs, ts, L=FL, **sw)
+        ends = sw_extend_windows(codes2, qb, qcap, tb, tcap, L=FL, **sw)
     if timings is not None:
-        timings.count("gapext_pairs", len(qs))
+        timings.count("gapext_pairs", n_all)
 
     # ---- lockstep advance per job ----
     adv = np.full(len(jobs), np.int64(1) << 40)
-    for p, j in enumerate(owner):
-        adv[j] = min(adv[j], int(ends[p, 1]))
+    np.minimum.at(adv, owner, ends[:, 1].astype(np.int64))
 
     # ---- per-job path recovery, merge, trim, splice ----
     stats_cache: dict[int, tuple[int, int]] = {}

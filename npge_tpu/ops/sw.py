@@ -281,6 +281,14 @@ def sw_extend_numpy(q_list, t_list, L=None, W=128, match=1, mismatch=-2,
         tlen[b, 0] = len(t)
         qp[b, W : W + len(q)] = q
         trp[b, W + 1 + L - len(t) : W + 1 + L] = t[::-1]
+    return _sw_numpy_core(qp, trp, qlen, tlen, L, W, match, mismatch, gap,
+                          xdrop)
+
+
+def _sw_numpy_core(qp, trp, qlen, tlen, L, W, match, mismatch, gap, xdrop):
+    """Band recurrence of the NumPy mirror over pre-padded [B, L+2W]
+    arrays (the layout ``sw_extend_numpy``'s padding loop builds)."""
+    B = qp.shape[0]
     band = np.arange(W, dtype=np.int32)[None, :]
     prev2 = np.where(band == W // 2, 0, NEG).astype(np.int64)
     prev2 = np.broadcast_to(prev2, (B, W)).copy()
@@ -325,6 +333,69 @@ def sw_extend_numpy(q_list, t_list, L=None, W=128, match=1, mismatch=-2,
         best = np.maximum(best, col_best)
         prev2, prev = prev, s
     return np.concatenate([best, bi, bj], axis=1).astype(np.int32)
+
+
+def sw_extend_windows(
+    codes2, qb, qcap, tb, tcap, L: int,
+    q_n_code: int = 250, t_n_code: int = 251,
+    W: int = 128, TB: int = 128,
+    match: int = 1, mismatch: int = -2, gap: int = -3, xdrop: int = 64,
+):
+    """Batched x-drop endpoints over CONTIGUOUS windows of a flat array.
+
+    Pair p aligns codes2[qb[p] : qb[p]+qcap[p]] against
+    codes2[tb[p] : tb[p]+tcap[p]] (caps <= L). Bit-identical to building
+    the window lists on host and calling :func:`sw_extend_auto`
+    (parity-tested), but the padded matrices are built with two
+    vectorized gathers — the per-pair Python slicing dominated the gapped
+    flank extension's host wall at 100+ genomes (150k pairs/pass).
+    N codes (>= 4) map to ``q_n_code``/``t_n_code`` so query-N never
+    matches target-N, mirroring algo.gapext's sentinel convention."""
+    import jax
+
+    P = len(qb)
+    if P == 0:
+        return np.zeros((0, 3), np.int32)
+    qb = np.asarray(qb, np.int64)
+    tb = np.asarray(tb, np.int64)
+    # mirror the list path's [:L] window clipping
+    qcap = np.minimum(np.asarray(qcap, np.int64), L)
+    tcap = np.minimum(np.asarray(tcap, np.int64), L)
+    s = np.arange(L)
+    hi = len(codes2) - 1
+    qwin = codes2[np.minimum(qb[:, None] + s[None, :], hi)]
+    qwin = np.where(qwin >= 4, np.uint8(q_n_code), qwin)
+    q_core = np.where(s[None, :] < qcap[:, None], qwin, np.uint8(254))
+    twin = codes2[np.minimum(tb[:, None] + s[None, :], hi)]
+    twin = np.where(twin >= 4, np.uint8(t_n_code), twin)
+    t_core = np.where(s[None, :] < tcap[:, None], twin, np.uint8(255))
+    if jax.default_backend() != "cpu":
+        Bp = -(-P // TB) * TB
+        Bp = 1 << max(0, Bp - 1).bit_length()
+        qp = np.full((Bp, L + 2 * W), 254, np.uint8)
+        trp = np.full((Bp, L + 2 * W), 255, np.uint8)
+        qp[:P, W : W + L] = q_core
+        trp[:P, W + 1 : W + 1 + L] = t_core[:, ::-1]
+        qlen = np.zeros((1, Bp), np.int32)
+        tlen = np.zeros((1, Bp), np.int32)
+        qlen[0, :P] = qcap
+        tlen[0, :P] = tcap
+        out = sw_extend_padded(
+            jnp.asarray(np.ascontiguousarray(qp.T)),
+            jnp.asarray(np.ascontiguousarray(trp.T)),
+            jnp.asarray(qlen), jnp.asarray(tlen),
+            L=L, W=W, TB=TB, match=match, mismatch=mismatch, gap=gap,
+            xdrop=xdrop,
+        )
+        return np.asarray(out)[:P]
+    qp = np.full((P, L + 2 * W), 254, np.int32)
+    trp = np.full((P, L + 2 * W), 255, np.int32)
+    qp[:, W : W + L] = q_core
+    trp[:, W + 1 : W + 1 + L] = t_core[:, ::-1]
+    return _sw_numpy_core(
+        qp, trp, qcap[:, None].astype(np.int32),
+        tcap[:, None].astype(np.int32), L, W, match, mismatch, gap, xdrop,
+    )
 
 
 def sw_extend_auto(q_list, t_list, **kw):

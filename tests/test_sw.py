@@ -81,3 +81,29 @@ def test_batch_padding_rows_harmless():
     q = C.encode("ACGTACGTACGT")
     out = run_kernel([q, q], [q.copy(), q.copy()], TB=8)
     assert tuple(out[0]) == tuple(out[1]) == (12, 12, 12)
+
+
+def test_sw_extend_windows_matches_list_path():
+    """sw_extend_windows (vectorized contiguous-window build) must be
+    bit-identical to building the window lists and calling
+    sw_extend_auto — including N sentinels, cap clipping, and ragged
+    caps."""
+    from npge_tpu.ops.sw import sw_extend_auto, sw_extend_windows
+
+    rng = np.random.default_rng(27)
+    codes2 = rng.integers(0, 4, 8000).astype(np.uint8)
+    codes2[rng.random(8000) < 0.01] = 4  # sprinkle N
+    P, L = 37, 128
+    qb = rng.integers(0, 6000, P)
+    tb = np.minimum(qb + rng.integers(-30, 30, P), 6000)
+    qcap = rng.integers(0, 200, P)  # some > L to exercise clipping
+    tcap = rng.integers(0, 200, P)
+    qs, ts = [], []
+    for p in range(P):
+        q = codes2[qb[p] : qb[p] + qcap[p]]
+        t = codes2[tb[p] : tb[p] + tcap[p]]
+        qs.append(np.where(q >= 4, np.uint8(250), q))
+        ts.append(np.where(t >= 4, np.uint8(251), t))
+    want = sw_extend_auto(qs, ts, L=L)
+    got = sw_extend_windows(codes2, qb, qcap, tb, tcap, L=L)
+    np.testing.assert_array_equal(got, want)
