@@ -199,16 +199,32 @@ def _admit_python(
     if any(a[0] == c[0] and c[1] < a[2] for a, c in zip(ivs, ivs[1:])):
         return
     n = b.n_cols
-    free = np.ones(n, dtype=bool)
-    for fi in range(b.n_frags):
-        row = b.frags.row(fi)
-        aln_row = None if b.alignment is None else b.alignment[fi]
-        pos = _col_positions(row, n, aln_row)
-        L = arena.seq_len(row[0])
-        occupied = np.zeros(n, dtype=bool)
-        has = pos >= 0
-        occupied[has] = occ[row[0]][pos[has] % L] != 0
-        free &= ~occupied
+    f = b.frags
+    st = f.start.astype(np.int64)[:, None]
+    ln = f.length.astype(np.int64)[:, None]
+    ori = f.ori.astype(np.int64)[:, None]
+    seqs = f.seq_id.astype(np.int64)
+    Ls = (arena.offsets[seqs + 1] - arena.offsets[seqs])[:, None]
+    # per-column sequence positions for ALL fragments at once (the
+    # per-fragment _col_positions loop was a top resolve cost at scale)
+    if b.alignment is None:
+        kk = np.broadcast_to(np.arange(n), (b.n_frags, n))
+        has = np.ones((b.n_frags, n), dtype=bool)
+    else:
+        has = b.alignment != 5  # C.GAP
+        kk = np.cumsum(has, axis=1) - 1
+    pos = np.where(ori == 1, st + kk, st + ln - 1 - kk)
+    gpos = arena.offsets[seqs][:, None] + np.where(has, pos % Ls, 0)
+    buf = occ[0].base if occ and occ[0].base is not None else None
+    if buf is None:  # occ views not backed by one buffer: per-seq gather
+        occupied = np.zeros((b.n_frags, n), dtype=bool)
+        for fi in range(b.n_frags):
+            occupied[fi, has[fi]] = (
+                occ[int(seqs[fi])][pos[fi, has[fi]] % int(Ls[fi, 0])] != 0
+            )
+    else:
+        occupied = (buf[gpos] != 0) & has
+    free = ~occupied.any(axis=0)
     for c0, c1 in _runs(free):
         if c1 - c0 < cfg.MIN_LENGTH:
             continue
