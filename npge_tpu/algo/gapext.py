@@ -293,6 +293,14 @@ def gapped_extend_blocks(
     SW + path recovery on flanks that already proved unextendable (the
     dominant reseed-round host cost, VERDICT r3 weak #1/#3). Entries pin
     their block object, so ids cannot alias."""
+    import time as _time
+
+    def _book(phase, t0):
+        if timings is not None:
+            timings.add(f"gapext.{phase}", _time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
     arena = bs.arena
     blocks = bs.blocks
     multi = [i for i, b in enumerate(blocks) if b.n_frags >= 2]
@@ -347,6 +355,7 @@ def gapped_extend_blocks(
         timings.count("cache.gapext_probe_run", len(jobs))
     if not jobs:
         return 0
+    _t = _book("assemble", _t)
 
     # ---- one batched device pass for all flank-pair endpoints ----
     def flank(base, cap):
@@ -404,6 +413,7 @@ def gapped_extend_blocks(
     if timings is not None:
         timings.count("gapext_pairs", n_all)
 
+    _t = _book("sw", _t)
     # ---- lockstep advance per job ----
     adv = np.full(len(jobs), np.int64(1) << 40)
     np.minimum.at(adv, owner, ends[:, 1].astype(np.int64))
@@ -438,6 +448,7 @@ def gapped_extend_blocks(
     nw_out = _nw_fixed_query_batch(
         nw_pairs, cfg.SW_MATCH, cfg.SW_MISMATCH, cfg.SW_GAP
     )
+    _t = _book("nw", _t)
     job_results: dict[int, list] = {j: [] for j in job_q}
     for r, j in zip(nw_out, pair_job):
         job_results[j].append(r)
@@ -468,4 +479,5 @@ def gapped_extend_blocks(
             good0 + int((ident & gapless).sum()), total0 + c
         )
         applied += 1
+    _book("apply", _t)
     return applied

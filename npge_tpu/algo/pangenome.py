@@ -234,7 +234,10 @@ def build_pangenome(
             cons, groups, cfg, cons_dev, timings=t, mesh=mesh,
             counter_prefix="reseed.extend",
         )
+        t.add("reseed.extend.ext", time.perf_counter() - t0)
+        t0d = time.perf_counter()
         mapped = deconseq(cand_cons, src, full)
+        t.add("reseed.extend.deconseq", time.perf_counter() - t0d)
         t.add("reseed.extend", time.perf_counter() - t0)
         log(
             f"reseed {round_no}: k={k} {groups.n_groups} cons-groups -> "
