@@ -158,7 +158,8 @@ def _deconseq_fast(
 
 
 def deconseq(
-    cand, cons_src: list[tuple[int, np.ndarray]], bs: BlockSet
+    cand, cons_src: list[tuple[int, np.ndarray]], bs: BlockSet,
+    slice_memo: dict | None = None,
 ) -> list[Block]:
     """Map candidate blocks found on the consensus arena back to genome
     space: a consensus fragment (cons_i, start, len, ori) expands to *all*
@@ -215,7 +216,10 @@ def deconseq(
         _deconseq_fast(sub_fast, cons_src, bs, assume_gapless=True)
         if len(sub_fast) else []
     )
-    slow_out = _deconseq_general(sub_slow, cons_src, bs) if sub_slow else []
+    slow_out = (
+        _deconseq_general(sub_slow, cons_src, bs, slice_memo)
+        if sub_slow else []
+    )
     # merge preserving candidate order (admission determinism). Both
     # paths return ALIGNED lists (None where a candidate was dropped —
     # <2 fragments or ragged widths); filter after the merge.
@@ -228,10 +232,19 @@ def deconseq(
 
 
 def _deconseq_general(
-    cand: list[Block], cons_src: list[tuple[int, np.ndarray]], bs: BlockSet
+    cand: list[Block], cons_src: list[tuple[int, np.ndarray]], bs: BlockSet,
+    slice_memo: dict | None = None,
 ) -> list:
     """Per-piece mapping path (gapped sources). Returns a list ALIGNED
-    with ``cand`` — None where a candidate was dropped."""
+    with ``cand`` — None where a candidate was dropped.
+
+    ``slice_memo`` ((id(src block), c0, c1, ori) -> (src block, piece))
+    carries sliced pieces across calls: source blocks are immutable and
+    keep object identity across reseed rounds, and successive rounds map
+    near-identical candidate sets — at the 100-genome scale the repeated
+    slice/normalize/inverse chain dominated the reseed mapping cost.
+    Entries pin the source block (id-alias safety); pieces are immutable
+    and only ever read, so sharing one object across candidates is safe."""
     out: list = []
     for cb in cand:
         pieces: list[Block] = []
@@ -241,13 +254,25 @@ def _deconseq_general(
             bi, cmap = cons_src[ci]
             src_block = bs.blocks[bi]
             c0, c1 = int(cmap[st]), int(cmap[st + ln - 1]) + 1
+            mkey = (id(src_block), c0, c1, int(o))
+            hit = slice_memo.get(mkey) if slice_memo is not None else None
+            if hit is not None:
+                piece = hit[1]
+                if piece is None:
+                    ok = False
+                    break
+                pieces.append(piece)
+                continue
             piece = src_block.slice(c0, c1)
+            if piece is not None:
+                piece = normalize_wrap_starts(piece, bs.arena)
+                if o == -1:
+                    piece = piece.inverse()
+            if slice_memo is not None:
+                slice_memo[mkey] = (src_block, piece)
             if piece is None:
                 ok = False
                 break
-            piece = normalize_wrap_starts(piece, bs.arena)
-            if o == -1:
-                piece = piece.inverse()
             pieces.append(piece)
         if not ok or not pieces:
             out.append(None)

@@ -153,6 +153,7 @@ def build_pangenome(
     rest_cache: dict = {}  # (seq, start, len) -> Block, see rest_blocks
     canon_memo: dict = {}  # id -> (block, canonical block), see canonicalize
     hash_memo: dict = {}  # id -> (block, hash), see blockset_hash
+    slice_memo: dict = {}  # (id, c0, c1, ori) -> (block, piece), deconseq
 
     def sweep_caches() -> None:
         """Evict cache entries for blocks no longer reachable from the
@@ -175,6 +176,8 @@ def build_pangenome(
             del cons_cache[k]
         for k in [k for k in hash_memo if k not in canon_live]:
             del hash_memo[k]
+        for k in [k for k in slice_memo if k[0] not in canon_live]:
+            del slice_memo[k]
         for k in [k for k in join_cache.d if k not in live]:
             del join_cache.d[k]
         for t in [
@@ -236,7 +239,7 @@ def build_pangenome(
         )
         t.add("reseed.extend.ext", time.perf_counter() - t0)
         t0d = time.perf_counter()
-        mapped = deconseq(cand_cons, src, full)
+        mapped = deconseq(cand_cons, src, full, slice_memo)
         t.add("reseed.extend.deconseq", time.perf_counter() - t0d)
         t.add("reseed.extend", time.perf_counter() - t0)
         log(

@@ -363,31 +363,39 @@ def sw_extend_windows(
     tcap = np.minimum(np.asarray(tcap, np.int64), L)
     s = np.arange(L)
     hi = len(codes2) - 1
+    if jax.default_backend() != "cpu":
+        # build the kernel's [L+2W, Bp] layout DIRECTLY (gathers in
+        # transposed orientation) — the [P, L+2W]-then-transpose route
+        # copied ~100 MB per pass at the 100-genome scale
+        Bp = -(-P // TB) * TB
+        Bp = 1 << max(0, Bp - 1).bit_length()
+        qwin = codes2[np.minimum(qb[None, :] + s[:, None], hi)]  # [L, P]
+        qwin = np.where(qwin >= 4, np.uint8(q_n_code), qwin)
+        q_core = np.where(s[:, None] < qcap[None, :], qwin, np.uint8(254))
+        twin = codes2[np.minimum(tb[None, :] + s[:, None], hi)]
+        twin = np.where(twin >= 4, np.uint8(t_n_code), twin)
+        t_core = np.where(s[:, None] < tcap[None, :], twin, np.uint8(255))
+        qp = np.full((L + 2 * W, Bp), 254, np.uint8)
+        trp = np.full((L + 2 * W, Bp), 255, np.uint8)
+        qp[W : W + L, :P] = q_core
+        trp[W + 1 : W + 1 + L, :P] = t_core[::-1, :]
+        qlen = np.zeros((1, Bp), np.int32)
+        tlen = np.zeros((1, Bp), np.int32)
+        qlen[0, :P] = qcap
+        tlen[0, :P] = tcap
+        out = sw_extend_padded(
+            jnp.asarray(qp), jnp.asarray(trp),
+            jnp.asarray(qlen), jnp.asarray(tlen),
+            L=L, W=W, TB=TB, match=match, mismatch=mismatch, gap=gap,
+            xdrop=xdrop,
+        )
+        return np.asarray(out)[:P]
     qwin = codes2[np.minimum(qb[:, None] + s[None, :], hi)]
     qwin = np.where(qwin >= 4, np.uint8(q_n_code), qwin)
     q_core = np.where(s[None, :] < qcap[:, None], qwin, np.uint8(254))
     twin = codes2[np.minimum(tb[:, None] + s[None, :], hi)]
     twin = np.where(twin >= 4, np.uint8(t_n_code), twin)
     t_core = np.where(s[None, :] < tcap[:, None], twin, np.uint8(255))
-    if jax.default_backend() != "cpu":
-        Bp = -(-P // TB) * TB
-        Bp = 1 << max(0, Bp - 1).bit_length()
-        qp = np.full((Bp, L + 2 * W), 254, np.uint8)
-        trp = np.full((Bp, L + 2 * W), 255, np.uint8)
-        qp[:P, W : W + L] = q_core
-        trp[:P, W + 1 : W + 1 + L] = t_core[:, ::-1]
-        qlen = np.zeros((1, Bp), np.int32)
-        tlen = np.zeros((1, Bp), np.int32)
-        qlen[0, :P] = qcap
-        tlen[0, :P] = tcap
-        out = sw_extend_padded(
-            jnp.asarray(np.ascontiguousarray(qp.T)),
-            jnp.asarray(np.ascontiguousarray(trp.T)),
-            jnp.asarray(qlen), jnp.asarray(tlen),
-            L=L, W=W, TB=TB, match=match, mismatch=mismatch, gap=gap,
-            xdrop=xdrop,
-        )
-        return np.asarray(out)[:P]
     qp = np.full((P, L + 2 * W), 254, np.int32)
     trp = np.full((P, L + 2 * W), 255, np.int32)
     qp[:, W : W + L] = q_core
