@@ -262,6 +262,7 @@ def find_anchors(
         arena.codes if codes_dev is None else codes_dev,
         seq_id_dev, k, cfg.MINIMIZER_WINDOW,
         offsets=arena.offsets, want_gid=True,
+        max_group=cfg.MAX_ANCHOR_FRAGMENTS,
     )
     return form_groups_gid(gid, pos, strand, arena, cfg, k)
 

@@ -419,16 +419,21 @@ def _sort_pack(buf, cnt):
 
 
 @jax.jit
-def _sort_pack_gid(buf, cnt):
+def _sort_pack_gid(buf, cnt, maxf):
     """:func:`_sort_pack` variant that drops the 64-bit keys from the
     fetched buffer entirely: after the device sort, consumers only need
     GROUP BOUNDARIES (key != previous key), never the key values — so one
     uint32 per row moves over the tunnel instead of three (the initial
-    17 Mbp scan's row fetch was ~50 MB). Layout per row:
+    17 Mbp scan's row fetch was ~50 MB). The group-SIZE filter also runs
+    on device (keep 2 <= size <= maxf, whole groups), so only surviving
+    occurrences are fetched at all — most selected k-mers sit in size-1
+    groups that the host would discard anyway. Layout per row:
     bit 31 = strand sign, bit 30 = new-group flag, bits 0..29 = position
     (callers guarantee padded arena < 2^30; ops route to the key-carrying
-    path above that). Column 0 carries the count."""
+    path above that). Element 0 = kept count, element 1 = selected count
+    (the cap-retry signal); rows start at element 2."""
     h, l, packed = buf[0], buf[1], buf[2]
+    cap = h.shape[0]
     pos = packed & jnp.uint32(0x7FFFFFFF)
     order = jnp.lexsort((pos, l, h))
     hs, ls, ps = h[order], l[order], packed[order]
@@ -438,8 +443,28 @@ def _sort_pack_gid(buf, cnt):
             (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1]),
         ]
     )
-    out = ps | (new.astype(jnp.uint32) << 30)
-    return jnp.concatenate([jnp.full((1,), cnt, jnp.uint32), out])
+    i = jnp.arange(cap, dtype=jnp.int32)
+    valid = i < cnt.astype(jnp.int32)
+    newv = new & valid
+    BIG = jnp.int32(cap)
+    start = jax.lax.cummax(jnp.where(newv, i, -1))
+    nxt = jnp.where(newv, i, BIG)[::-1]
+    nxt = jax.lax.cummin(nxt)[::-1]
+    # next group start AFTER row i (exclusive): suffix-min shifted by one
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), BIG, jnp.int32)])
+    size = jnp.minimum(nxt, cnt.astype(jnp.int32)) - start
+    keep = valid & (size >= 2) & (size <= jnp.asarray(maxf, jnp.int32))
+    kept_cnt = jnp.sum(keep, dtype=jnp.uint32)
+    idx = jnp.nonzero(keep, size=cap, fill_value=cap)[0]
+    pad = idx >= cap
+    safe = jnp.where(pad, 0, idx)
+    out = jnp.where(
+        pad,
+        UINT_MAX,
+        ps[safe] | (new[safe].astype(jnp.uint32) << 30),
+    )
+    head = jnp.stack([kept_cnt, cnt.astype(jnp.uint32)])
+    return jnp.concatenate([head, out])
 
 
 @jax.jit
@@ -528,6 +553,7 @@ def reset_scan_timings() -> dict:
 def find_anchor_occurrences(
     codes: jax.Array, seq_id_of: jax.Array | None, k: int, w: int,
     offsets: np.ndarray | None = None, mesh=None, want_gid: bool = False,
+    max_group: int = 1 << 30,
 ):
     """Full device pass: scan -> minimizer sample -> compact (device).
 
@@ -611,26 +637,37 @@ def find_anchor_occurrences(
             _t0 = _time.perf_counter()
             buf, cnt = _scan_compact(codes, seq_id_of, k, w, cap)
             out = (
-                _sort_pack_gid(buf, cnt) if gid_mode
+                _sort_pack_gid(buf, cnt, max_group) if gid_mode
                 else _sort_pack(buf, cnt)
             )
             guess = _N_GUESS.get(Tp, 0)
+            hdr = 2 if gid_mode else 1
             if guess:
                 m = min(cap, max(1 << 12, 1 << (guess - 1).bit_length()))
                 # eager prefix slice: one tiny XLA program per (cap, m)
-                # pair, persistently cached; moves count + 4 or 12 B * m
+                # pair, persistently cached; moves counts + 4 or 12 B * m
                 flat = np.asarray(
-                    out[: m + 1] if gid_mode else out[:, : m + 1]
+                    out[: m + hdr] if gid_mode else out[:, : m + 1]
                 )
                 n = int(flat[0] if gid_mode else flat[0, 0])
+                n_sel = int(flat[1]) if gid_mode else n
             else:  # first scan at this size: count-first, then prefix
-                n = int(cnt)
+                n_sel = int(cnt)
+                n = None
                 m = 0
             SCAN_TIMINGS["scan_sync"] += _time.perf_counter() - _t0
-            if n <= cap:
+            if n_sel <= cap:
                 break
-            cap = min(Tp, 1 << (n - 1).bit_length())
+            cap = min(Tp, 1 << (n_sel - 1).bit_length())
         _CAP_FLOOR[Tp] = max(_CAP_FLOOR.get(Tp, 0), cap)
+        if n is None:
+            if gid_mode:
+                # count-first path: the kept count lives in the header
+                _t0 = _time.perf_counter()
+                n = int(np.asarray(out[:1])[0])
+                SCAN_TIMINGS["scan_sync"] += _time.perf_counter() - _t0
+            else:
+                n = n_sel
         _N_GUESS[Tp] = n
         if n == 0:
             e = np.zeros(0)
@@ -643,10 +680,12 @@ def find_anchor_occurrences(
         if n > m:  # no guess, or the speculative prefix fell short
             _t0 = _time.perf_counter()
             m = min(cap, max(1 << 12, 1 << (n - 1).bit_length()))
-            flat = np.asarray(out[: m + 1] if gid_mode else out[:, : m + 1])
+            flat = np.asarray(
+                out[: m + hdr] if gid_mode else out[:, : m + 1]
+            )
             SCAN_TIMINGS["compact_fetch"] += _time.perf_counter() - _t0
         if gid_mode:
-            rows = flat[1 : n + 1]
+            rows = flat[2 : n + 2]
             s = np.where(rows >> 31, -1, 1).astype(np.int8)
             gid = (
                 np.cumsum((rows >> 30) & np.uint32(1)).astype(np.int64) - 1

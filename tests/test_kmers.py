@@ -320,3 +320,32 @@ def test_fused_scan_speculative_prefix_paths():
             assert _N_GUESS[Tp] == n  # guess updated to the real count
     finally:
         set_pad_ratchet(None)
+
+
+def test_find_anchors_gid_filtered_path_matches_cpu():
+    """The ratchet gid path (device sort + new-group flags + on-device
+    group-size filter, 1 uint32/row fetch) must produce the exact anchor
+    groups of the unratcheted path, including MAX_ANCHOR_FRAGMENTS
+    filtering and dedupe."""
+    from npge_tpu.algo.anchors import find_anchors
+    from npge_tpu.config import default_config
+    from npge_tpu.ops.kmers import set_pad_ratchet
+
+    arena = synthetic_arena(
+        n_genomes=3, length=9000, seed=13, sub_rate=0.01, indel_rate=0.001
+    )
+    # small repeat guard so the size filter actually drops groups
+    cfg = default_config().replace(
+        ANCHOR_SIZE=15, MINIMIZER_WINDOW=4, MAX_ANCHOR_FRAGMENTS=3
+    )
+    base = find_anchors(arena, cfg)
+    try:
+        set_pad_ratchet(True)
+        ratcheted = find_anchors(arena, cfg)
+    finally:
+        set_pad_ratchet(None)
+    assert base.n_groups == ratcheted.n_groups > 10
+    np.testing.assert_array_equal(base.offsets, ratcheted.offsets)
+    np.testing.assert_array_equal(base.pos, ratcheted.pos)
+    np.testing.assert_array_equal(base.seq_id, ratcheted.seq_id)
+    np.testing.assert_array_equal(base.strand, ratcheted.strand)
