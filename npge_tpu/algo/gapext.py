@@ -412,35 +412,13 @@ def gapped_extend_blocks(
             timings.count("gapext_pairs", n_all)
         np.minimum.at(adv, owner, ends[:, 1].astype(np.int64))
     else:
-        # two-phase probe: the lockstep advance is a MIN over pair
-        # endpoints, and most jobs die at their very first pair (the
-        # flank hits a real boundary in every fragment at once) — so
-        # phase 1 runs one pair per job, and only jobs whose first pair
-        # extends pay for their remaining F-2 pairs. adv is exact either
-        # way: endpoint 0 on any pair forces adv = 0.
-        first = np.concatenate([[0], np.cumsum(n_pairs)[:-1]])
-        has = n_pairs > 0
-        f_idx = first[has]
-        ends1 = sw_extend_windows(
-            codes2, qb[f_idx], qcap[f_idx], tb[f_idx], tcap[f_idx],
-            L=FL, **sw,
-        )
-        np.minimum.at(
-            adv, np.flatnonzero(has), ends1[:, 1].astype(np.int64)
-        )
-        # phase 2: remaining pairs of jobs still alive after phase 1
-        alive = adv > 0
-        rest = alive[owner].copy()
-        rest[f_idx] = False
-        r_idx = np.flatnonzero(rest)
-        if len(r_idx):
-            ends2 = sw_extend_windows(
-                codes2, qb[r_idx], qcap[r_idx], tb[r_idx], tcap[r_idx],
-                L=FL, **sw,
-            )
-            np.minimum.at(adv, owner[r_idx], ends2[:, 1].astype(np.int64))
+        # (a two-phase first-pair prefilter was tried and reverted: on
+        # real worlds nearly every job's first pair extends a little, so
+        # it saved <1% of pairs and paid a second dispatch per pass)
+        ends = sw_extend_windows(codes2, qb, qcap, tb, tcap, L=FL, **sw)
+        np.minimum.at(adv, owner, ends[:, 1].astype(np.int64))
         if timings is not None:
-            timings.count("gapext_pairs", len(f_idx) + len(r_idx))
+            timings.count("gapext_pairs", n_all)
 
     _t = _book("sw", _t)
 
