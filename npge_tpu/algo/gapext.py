@@ -363,8 +363,20 @@ def gapped_extend_blocks(
 
     # per-pair window bases/caps assembled VECTORIZED (the per-pair Python
     # slicing here cost seconds at 100+ genomes: ~150k pairs per pass);
-    # the padded SW matrices are built by two gathers in ops.sw
+    # window gather + padding + kernel all run on device from the cached
+    # codes2 device copy (ops.sw._sw_windows_device)
+    import jax as _jax
+
     from npge_tpu.ops.sw import sw_extend_windows
+
+    sw_codes2 = codes2
+    if _jax.default_backend() != "cpu":
+        sw_codes2 = getattr(arena, "_codes2_dev", None)
+        if sw_codes2 is None:
+            import jax.numpy as _jnp
+
+            sw_codes2 = _jnp.asarray(codes2)
+            arena._codes2_dev = sw_codes2
 
     n_pairs = np.array([len(c) - 1 for (_b, _s, c, *_r) in jobs], np.int64)
     owner = np.repeat(np.arange(len(jobs)), n_pairs)
@@ -394,7 +406,7 @@ def gapped_extend_blocks(
 
         a0, a1 = host_slice(n_all, pi, pc)
         part = sw_extend_windows(
-            codes2, qb[a0:a1], qcap[a0:a1], tb[a0:a1], tcap[a0:a1],
+            sw_codes2, qb[a0:a1], qcap[a0:a1], tb[a0:a1], tcap[a0:a1],
             L=FL, **sw,
         )
         cap_rows = -(-n_all // pc)
@@ -415,7 +427,7 @@ def gapped_extend_blocks(
         # (a two-phase first-pair prefilter was tried and reverted: on
         # real worlds nearly every job's first pair extends a little, so
         # it saved <1% of pairs and paid a second dispatch per pass)
-        ends = sw_extend_windows(codes2, qb, qcap, tb, tcap, L=FL, **sw)
+        ends = sw_extend_windows(sw_codes2, qb, qcap, tb, tcap, L=FL, **sw)
         np.minimum.at(adv, owner, ends[:, 1].astype(np.int64))
         if timings is not None:
             timings.count("gapext_pairs", n_all)

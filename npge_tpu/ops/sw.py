@@ -335,6 +335,57 @@ def _sw_numpy_core(qp, trp, qlen, tlen, L, W, match, mismatch, gap, xdrop):
     return np.concatenate([best, bi, bj], axis=1).astype(np.int32)
 
 
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "L", "W", "TB", "match", "mismatch", "gap", "xdrop"
+    ),
+)
+def _sw_padded_rowmajor(qp, trp, qlen, tlen, **kw):
+    """Kernel entry taking [Bp, L+2W] row-major inputs; the transpose to
+    the kernel's [L+2W, Bp] layout runs on device (free vs a host copy)."""
+    return sw_extend_padded(qp.T, trp.T, qlen, tlen, **kw)
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "L", "W", "TB", "match", "mismatch", "gap", "xdrop", "q_n", "t_n"
+    ),
+)
+def _sw_windows_device(
+    codes2, qb, qcap, tb, tcap, *, L, W, TB, match, mismatch, gap, xdrop,
+    q_n, t_n,
+):
+    """Window gather + sentinel mapping + padded-layout assembly + kernel,
+    all on device: the host only uploads the (base, cap) descriptor rows
+    (the host-side index arithmetic + gathers cost ~1 s per 17k-pair
+    gapped-extension pass). Batch is pre-padded to a pow2 bucket; pad
+    rows have cap 0 and read row 0, masked to fill."""
+    s = jnp.arange(L)
+    hi = codes2.shape[0] - 1
+    qwin = codes2[jnp.minimum(qb[:, None] + s[None, :], hi)]
+    qwin = jnp.where(qwin >= 4, jnp.uint8(q_n), qwin)
+    q_core = jnp.where(s[None, :] < qcap[:, None], qwin, jnp.uint8(254))
+    twin = codes2[jnp.minimum(tb[:, None] + s[None, :], hi)]
+    twin = jnp.where(twin >= 4, jnp.uint8(t_n), twin)
+    t_core = jnp.where(s[None, :] < tcap[:, None], twin, jnp.uint8(255))
+    Bp = qb.shape[0]
+    qp = jnp.full((L + 2 * W, Bp), 254, jnp.uint8)
+    qp = qp.at[W : W + L, :].set(q_core.T)
+    trp = jnp.full((L + 2 * W, Bp), 255, jnp.uint8)
+    trp = trp.at[W + 1 : W + 1 + L, :].set(t_core[:, ::-1].T)
+    return sw_extend_padded(
+        qp, trp, qcap.astype(jnp.int32)[None, :],
+        tcap.astype(jnp.int32)[None, :],
+        L=L, W=W, TB=TB, match=match, mismatch=mismatch, gap=gap,
+        xdrop=xdrop,
+    )
+
+
 def sw_extend_windows(
     codes2, qb, qcap, tb, tcap, L: int,
     q_n_code: int = 250, t_n_code: int = 251,
@@ -364,30 +415,21 @@ def sw_extend_windows(
     s = np.arange(L)
     hi = len(codes2) - 1
     if jax.default_backend() != "cpu":
-        # build the kernel's [L+2W, Bp] layout DIRECTLY (gathers in
-        # transposed orientation) — the [P, L+2W]-then-transpose route
-        # copied ~100 MB per pass at the 100-genome scale
         Bp = -(-P // TB) * TB
         Bp = 1 << max(0, Bp - 1).bit_length()
-        qwin = codes2[np.minimum(qb[None, :] + s[:, None], hi)]  # [L, P]
-        qwin = np.where(qwin >= 4, np.uint8(q_n_code), qwin)
-        q_core = np.where(s[:, None] < qcap[None, :], qwin, np.uint8(254))
-        twin = codes2[np.minimum(tb[None, :] + s[:, None], hi)]
-        twin = np.where(twin >= 4, np.uint8(t_n_code), twin)
-        t_core = np.where(s[:, None] < tcap[None, :], twin, np.uint8(255))
-        qp = np.full((L + 2 * W, Bp), 254, np.uint8)
-        trp = np.full((L + 2 * W, Bp), 255, np.uint8)
-        qp[W : W + L, :P] = q_core
-        trp[W + 1 : W + 1 + L, :P] = t_core[::-1, :]
-        qlen = np.zeros((1, Bp), np.int32)
-        tlen = np.zeros((1, Bp), np.int32)
-        qlen[0, :P] = qcap
-        tlen[0, :P] = tcap
-        out = sw_extend_padded(
-            jnp.asarray(qp), jnp.asarray(trp),
-            jnp.asarray(qlen), jnp.asarray(tlen),
+
+        def padded(a):
+            out = np.zeros(Bp, np.int32)
+            out[:P] = a
+            return jnp.asarray(out)
+
+        codes2_dev = (
+            codes2 if isinstance(codes2, jax.Array) else jnp.asarray(codes2)
+        )
+        out = _sw_windows_device(
+            codes2_dev, padded(qb), padded(qcap), padded(tb), padded(tcap),
             L=L, W=W, TB=TB, match=match, mismatch=mismatch, gap=gap,
-            xdrop=xdrop,
+            xdrop=xdrop, q_n=q_n_code, t_n=t_n_code,
         )
         return np.asarray(out)[:P]
     qwin = codes2[np.minimum(qb[:, None] + s[None, :], hi)]
