@@ -372,31 +372,38 @@ def extend_anchor_groups(
             TCL = np.concatenate(tcl).astype(np.int32)
             TCI = np.concatenate(tci).astype(np.int32)
             n_tail = len(TB)
-            rows_p = max(256, 1 << (n_tail - 1).bit_length())
-            pad = rows_p - n_tail
+            # the tail obeys the same per-dispatch element budget as the
+            # round-1 batches: all-active-rows x padded-F x chunk in one
+            # dispatch OOMed the 56 Mbp config (21 GB window gather)
+            t_cap = max(256, _ELEM_BUDGET // (fb_max * chunk))
+            tt = np.zeros(n_tail, np.int32)
+            tail_cells = 0
+            for t0 in range(0, n_tail, t_cap):
+                t1 = min(n_tail, t0 + t_cap)
+                rows_p = max(256, 1 << (t1 - t0 - 1).bit_length())
+                pad = rows_p - (t1 - t0)
 
-            def padr(a, fill):
-                return np.pad(
-                    a,
-                    ((0, pad),) + ((0, 0),) * (a.ndim - 1),
-                    constant_values=fill,
-                )
+                def padr(a, fill):
+                    return np.pad(
+                        a[t0:t1],
+                        ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                        constant_values=fill,
+                    )
 
-            total_t, r_fin = _err(
-                codes2_rows, 2 * T, jnp.asarray(padr(TB, 0)),
-                jnp.asarray(padr(TF, False)), jnp.asarray(padr(TC, 0)),
-                num, den, chunk, max_rounds,
-                carry_len=jnp.asarray(padr(TCL, 0)),
-                carry_ident=jnp.asarray(padr(TCI, 0)),
-                start_round=jnp.int32(1),
-            )
-            tt = np.asarray(total_t)[:n_tail]
-            rounds_tail = int(r_fin) - 1
-            if timings is not None and rounds_tail > 0:
-                timings.count(
-                    f"{counter_prefix}_cells",
-                    int(TF.sum()) * rounds_tail * chunk,
+                total_t, r_fin = _err(
+                    codes2_rows, 2 * T, jnp.asarray(padr(TB, 0)),
+                    jnp.asarray(padr(TF, False)), jnp.asarray(padr(TC, 0)),
+                    num, den, chunk, max_rounds,
+                    carry_len=jnp.asarray(padr(TCL, 0)),
+                    carry_ident=jnp.asarray(padr(TCI, 0)),
+                    start_round=jnp.int32(1),
                 )
+                tt[t0:t1] = np.asarray(total_t)[: t1 - t0]
+                rounds_tail = int(r_fin) - 1
+                if rounds_tail > 0:
+                    tail_cells += int(TF[t0:t1].sum()) * rounds_tail * chunk
+            if timings is not None and tail_cells:
+                timings.count(f"{counter_prefix}_cells", tail_cells)
             off = 0
             for pb_i, act in towner:
                 batch, Bp, ext, _ = per_batch[pb_i]
