@@ -375,9 +375,9 @@ def extend_anchor_groups(
             # the tail obeys the same per-dispatch element budget as the
             # round-1 batches: all-active-rows x padded-F x chunk in one
             # dispatch OOMed the 56 Mbp config (21 GB window gather)
-            t_cap = max(256, _ELEM_BUDGET // (fb_max * chunk))
+            t_cap = max(256, (2 * _ELEM_BUDGET) // (fb_max * chunk))
             tt = np.zeros(n_tail, np.int32)
-            tail_cells = 0
+            tail_pend = []  # async dispatches; ONE concatenated fetch
             for t0 in range(0, n_tail, t_cap):
                 t1 = min(n_tail, t0 + t_cap)
                 rows_p = max(256, 1 << (t1 - t0 - 1).bit_length())
@@ -398,8 +398,19 @@ def extend_anchor_groups(
                     carry_ident=jnp.asarray(padr(TCI, 0)),
                     start_round=jnp.int32(1),
                 )
-                tt[t0:t1] = np.asarray(total_t)[: t1 - t0]
-                rounds_tail = int(r_fin) - 1
+                tail_pend.append((t0, t1, total_t, r_fin))
+            flat_t = np.asarray(
+                jnp.concatenate(
+                    [x for (_a, _b, tot, rf) in tail_pend for x in (tot, rf[None])]
+                )
+            )
+            fp = 0
+            tail_cells = 0
+            for t0, t1, tot, _rf in tail_pend:
+                m_rows = tot.shape[0]
+                tt[t0:t1] = flat_t[fp : fp + (t1 - t0)]
+                rounds_tail = int(flat_t[fp + m_rows]) - 1
+                fp += m_rows + 1
                 if rounds_tail > 0:
                     tail_cells += int(TF[t0:t1].sum()) * rounds_tail * chunk
             if timings is not None and tail_cells:
