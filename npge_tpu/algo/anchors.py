@@ -109,12 +109,28 @@ def _dedupe_keep_mask(groups: AnchorGroups, window: int) -> np.ndarray:
         ^ delta.astype(np.uint64)
     )
     # order-sensitive segment hash: sum_i mix(row_i) * P^(i - first_g)
-    # (two independent mixes -> 128 bits; uint64 wraparound is the modulus)
-    expo = np.arange(M, dtype=np.int64) - first[gid]
+    # (two independent mixes -> 128 bits; uint64 wraparound is the
+    # modulus). P^(i - first) is computed as cumprod(P)[i] * inv(P)^first
+    # — P is odd, hence invertible mod 2^64 (Newton inverse), and the
+    # global cumulative product replaces M modular exponentiations
+    # (~100 ns each; 5.3M rows at the 56 Mbp scale).
+    def _seg_pows(P: int) -> np.ndarray:
+        Pu = np.uint64(P)
+        inv = Pu  # Newton: x *= 2 - P*x doubles correct bits; 6 steps
+        with np.errstate(over="ignore"):
+            for _ in range(6):
+                inv = inv * (np.uint64(2) - Pu * inv)
+            cp = np.multiply.accumulate(
+                np.concatenate([[np.uint64(1)], np.full(M - 1, Pu)])
+            )  # cp[i] = P^i
+            icp = np.multiply.accumulate(
+                np.concatenate([[np.uint64(1)], np.full(M - 1, inv)])
+            )  # icp[i] = P^-i
+            return cp * icp[first[gid]]
+
     with np.errstate(over="ignore"):
-        pw1 = np.uint64(0x100000001B3) ** expo.astype(np.uint64)
-        pw2 = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
-        pw2 = pw2 ** expo.astype(np.uint64)
+        pw1 = _seg_pows(0x100000001B3)
+        pw2 = _seg_pows(0x9E3779B97F4A7C15 | 1)
         t1 = _splitmix64(row) * pw1
         t2 = _splitmix64(row ^ np.uint64(0xA5A5A5A5A5A5A5A5)) * pw2
     # segments are contiguous in occurrence order -> reduceat segment sums.
