@@ -44,19 +44,22 @@ arena = synthetic_arena(n_genomes=n, length=L, seed=SEED,
 print(f"total={arena.total_length}", flush=True)
 cfg = default_config()
 from npge_tpu.ops.kmers import reset_scan_timings
-reset_scan_timings()
+from npge_tpu.algo.anchors import reset_anchor_timings
+reset_scan_timings(); reset_anchor_timings()
 t0 = time.perf_counter()
 bs, tm = build_pangenome(arena, cfg, verbose=True)
 wall = time.perf_counter() - t0
 print(f"WALL: {wall:.1f}s", flush=True)
 print(tm.report(), flush=True)
 print(f"scan: {reset_scan_timings()}", flush=True)
+print(f"anchor: {reset_anchor_timings()}", flush=True)
 if twice:
     t0 = time.perf_counter()
     bs, tm = build_pangenome(arena, cfg)
     print(f"WARM WALL: {time.perf_counter()-t0:.1f}s", flush=True)
     print(tm.report(), flush=True)
     print(f"scan: {reset_scan_timings()}", flush=True)
+print(f"anchor: {reset_anchor_timings()}", flush=True)
 rep = check_is_pangenome(bs, cfg)
 occ_pos = sum(int(b.frags.length.sum()) for b in bs.blocks if b.n_frags >= 2)
 g = arena.genome_id_of_seq(); ng = len(arena.genomes())

@@ -25,6 +25,17 @@ from npge_tpu.config import Config
 from npge_tpu.model.arena import GenomeArena
 from npge_tpu.ops.kmers import find_anchor_occurrences
 
+# wall per phase across find_anchors calls (anchors-stage attribution;
+# reset alongside ops.kmers.SCAN_TIMINGS)
+ANCHOR_TIMINGS = {"occurrences": 0.0, "groups": 0.0, "dedupe": 0.0}
+
+
+def reset_anchor_timings() -> dict:
+    prev = dict(ANCHOR_TIMINGS)
+    for k_ in ANCHOR_TIMINGS:
+        ANCHOR_TIMINGS[k_] = 0.0
+    return prev
+
 
 @dataclass
 class AnchorGroups:
@@ -274,12 +285,16 @@ def find_anchors(
     # seq ids are built on device from the tiny offsets table; the scan
     # returns device-derived group ids — the 64-bit keys stay on device
     # (one uint32/row crosses the tunnel instead of three)
+    import time as _time
+
+    _t0 = _time.perf_counter()
     gid, pos, strand = find_anchor_occurrences(
         arena.codes if codes_dev is None else codes_dev,
         seq_id_dev, k, cfg.MINIMIZER_WINDOW,
         offsets=arena.offsets, want_gid=True,
         max_group=cfg.MAX_ANCHOR_FRAGMENTS,
     )
+    ANCHOR_TIMINGS["occurrences"] += _time.perf_counter() - _t0
     return form_groups_gid(gid, pos, strand, arena, cfg, k)
 
 
@@ -306,6 +321,9 @@ def form_groups_gid(
 ) -> AnchorGroups:
     """Group formation from precomputed group ids of key-sorted
     occurrences (same-key runs, ids dense ascending)."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
     if len(gid) == 0:
         return AnchorGroups(
             k,
@@ -328,6 +346,9 @@ def form_groups_gid(
     groups = AnchorGroups(
         k, offsets, pos.astype(np.int64), seq_id, strand.astype(np.int8)
     )
+    ANCHOR_TIMINGS["groups"] += _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     if cfg.ANCHOR_DEDUPE_WINDOW > 0:
         groups = dedupe_parallel_groups(groups, cfg.ANCHOR_DEDUPE_WINDOW)
+    ANCHOR_TIMINGS["dedupe"] += _time.perf_counter() - _t0
     return groups
