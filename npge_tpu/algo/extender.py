@@ -27,7 +27,10 @@ from npge_tpu.ops.extend import (
 )
 
 # target element budget per (B, F, S) gather to bound device memory
-_ELEM_BUDGET = 1 << 26
+# (int32 window = 4 B/elem; a side-stacked round-1 batch materializes
+# 2x this => ~1 GB per dispatch at 2^27 — comfortable in 16 GB HBM, and
+# half the dispatch round-trips of the 2^26 setting)
+_ELEM_BUDGET = 1 << 27
 
 # round-1 + compacted-tail engages at this many groups (list so tests can
 # force either path; results are bit-identical — parity-tested)
