@@ -281,17 +281,23 @@ def _deconseq_general(
         if len(widths) != 1:
             out.append(None)  # unequal-width gapped pieces: skip
             continue
-        rows = []
-        arows = []
-        gapless = all(p.is_gapless for p in pieces)
-        for p in pieces:
-            for gi in range(p.n_frags):
-                rows.append(p.frags.row(gi))
-            if not gapless:
-                arows.append(p.rows(bs.arena))
-        if len(rows) < 2:
+        nf = sum(p.n_frags for p in pieces)
+        if nf < 2:
             out.append(None)
             continue
-        aln = None if gapless else np.concatenate(arows, axis=0)
-        out.append(Block(FragmentTable.from_rows(rows), aln))
+        gapless = all(p.is_gapless for p in pieces)
+        aln = (
+            None if gapless
+            else np.concatenate([p.rows(bs.arena) for p in pieces], axis=0)
+        )
+        # column-wise concat of the pieces' fragment tables (same order as
+        # the per-row append it replaces; ~1M Block.frags.row calls per
+        # reseed round at the 100-genome scale)
+        ft = FragmentTable(
+            np.concatenate([p.frags.seq_id for p in pieces]),
+            np.concatenate([p.frags.start for p in pieces]),
+            np.concatenate([p.frags.length for p in pieces]),
+            np.concatenate([p.frags.ori for p in pieces]),
+        )
+        out.append(Block(ft, aln))
     return out

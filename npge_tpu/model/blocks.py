@@ -288,10 +288,27 @@ class BlockSet:
                         stats.get("cache.canon_miss", 0) + 1
                     )
             out.append(cb)
-        self.blocks = out
-        self.blocks.sort(
-            key=lambda b: (b.frags.row(0) if len(b.frags) else (1 << 30,))
-        )
+        # sort by the first fragment's (seq, start, len, ori) — vectorized
+        # key build + stable lexsort, identical order to sorting by the
+        # row(0) tuple (both stable; empty blocks sort last via the BIG
+        # seq key, matching the (1<<30,) tuple which exceeds any real
+        # 4-tuple on its first element)
+        G = len(out)
+        BIG = np.int64(1) << 30
+        ks = np.empty(G, np.int64)
+        kst = np.zeros(G, np.int64)
+        kln = np.zeros(G, np.int64)
+        ko = np.zeros(G, np.int64)
+        for i, b in enumerate(out):
+            if len(b.frags):
+                ks[i] = b.frags.seq_id[0]
+                kst[i] = b.frags.start[0]
+                kln[i] = b.frags.length[0]
+                ko[i] = b.frags.ori[0]
+            else:
+                ks[i] = BIG
+        order = np.lexsort((ko, kln, kst, ks))
+        self.blocks = [out[int(i)] for i in order]
 
     def coverage_per_seq(self) -> list[np.ndarray]:
         """For each sequence: int32 count of covering fragments per position."""
