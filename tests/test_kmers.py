@@ -349,3 +349,48 @@ def test_find_anchors_gid_filtered_path_matches_cpu():
     np.testing.assert_array_equal(base.pos, ratcheted.pos)
     np.testing.assert_array_equal(base.seq_id, ratcheted.seq_id)
     np.testing.assert_array_equal(base.strand, ratcheted.strand)
+
+
+def test_gid_filtered_scan_fuzz():
+    """Fuzz the ratchet gid path (device sort + filter + 1-word fetch)
+    against the plain path over random worlds: N runs, tiny arenas, many
+    sequences, varied k/w/MAX_ANCHOR_FRAGMENTS, repeated scans at shared
+    padded sizes (exercising the per-size guess/cap floors)."""
+    from npge_tpu.algo.anchors import find_anchors
+    from npge_tpu.config import default_config
+    from npge_tpu.ops.kmers import set_pad_ratchet
+
+    rng = np.random.default_rng(99)
+    worlds = []
+    for t in range(12):
+        n = int(rng.integers(1, 5))
+        L = int(rng.integers(40, 4000))
+        arena = synthetic_arena(
+            n_genomes=n, length=L, seed=int(rng.integers(1 << 30)),
+            sub_rate=float(rng.uniform(0, 0.05)),
+            indel_rate=float(rng.uniform(0, 0.005)),
+        )
+        # sprinkle N runs directly into the codes (assembly gaps)
+        for s in range(arena.n_seqs):
+            c = arena.seq_codes(s)
+            if len(c) > 30 and rng.random() < 0.7:
+                p = int(rng.integers(0, len(c) - 10))
+                c[p : p + int(rng.integers(1, 9))] = 4
+        cfg = default_config().replace(
+            ANCHOR_SIZE=int(rng.integers(5, 32)),
+            MINIMIZER_WINDOW=int(rng.integers(1, 12)),
+            MAX_ANCHOR_FRAGMENTS=int(rng.integers(2, 300)),
+        )
+        worlds.append((arena, cfg))
+    base = [find_anchors(a, c) for a, c in worlds]
+    try:
+        set_pad_ratchet(True)
+        for (a, c), want in zip(worlds, base):
+            got = find_anchors(a, c)
+            assert got.n_groups == want.n_groups, (c.ANCHOR_SIZE, c.MINIMIZER_WINDOW)
+            np.testing.assert_array_equal(got.offsets, want.offsets)
+            np.testing.assert_array_equal(got.pos, want.pos)
+            np.testing.assert_array_equal(got.seq_id, want.seq_id)
+            np.testing.assert_array_equal(got.strand, want.strand)
+    finally:
+        set_pad_ratchet(None)
