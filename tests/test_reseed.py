@@ -119,3 +119,28 @@ def test_cache_hit_counters_recorded():
     # cache — keyed to multi-fragment blocks that survive rounds — gets a
     # majority floor)
     assert c["cache.cons_hit"] >= c.get("cache.cons_miss", 0), c
+
+
+def test_deep_probe_proof_matches_independent_check():
+    """The construction loop's `deep.proven_at_kmin` marker claims the
+    deep IsPangenome re-seed probe is non-improving WITHOUT running it
+    (check --deep reuses it). Verify the claim against the independent
+    full deep check across several worlds: whenever the marker is set,
+    check_is_pangenome(deep=True) must pass."""
+    from npge_tpu.algo.is_pangenome import check_is_pangenome
+    from npge_tpu.algo.pangenome import build_pangenome
+    from npge_tpu.config import default_config
+
+    proven = 0
+    for seed in (5, 21, 77):
+        arena = synthetic_arena(
+            n_genomes=3, length=40_000, seed=seed, sub_rate=0.005,
+            indel_rate=0.0004, n_inversions=1,
+        )
+        cfg = default_config()
+        bs, tm = build_pangenome(arena, cfg)
+        if tm.counters.get("deep.proven_at_kmin"):
+            proven += 1
+            rep = check_is_pangenome(bs, cfg, deep=True)
+            assert rep.ok, (seed, rep.messages)
+    assert proven >= 2, "marker should be recorded on most worlds"
